@@ -1,0 +1,86 @@
+"""Logstash-style field references for row-oriented (dict) events.
+
+The reference addresses event fields as ``"status"`` or nested
+``"[foo][0][baz]"`` (see ``array_of_maps_value_update.rb:23-25``, which
+composes ``"#{@iterate_on}[#{index}]#{@field}"``). This module parses
+those references and implements get / set / include? over plain Python
+dict/list events — used by the row oracle and the conformance tests.
+
+The columnar kernels (kernel.py) use top-level column names and struct
+child paths instead; `parse_field_ref` is shared.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+_BRACKET = re.compile(r"\[([^\[\]]*)\]")
+
+_SENTINEL = object()
+
+
+def parse_field_ref(ref: str) -> list[str | int]:
+    """``"[foo][0][baz]"`` → ``["foo", 0, "baz"]``; ``"status"`` → ``["status"]``.
+
+    Integer-looking segments become ints (list indices).
+    """
+    if ref.startswith("[") and ref.endswith("]"):
+        parts: list[str | int] = []
+        for seg in _BRACKET.findall(ref):
+            parts.append(int(seg) if re.fullmatch(r"-?\d+", seg) else seg)
+        return parts
+    return [ref]
+
+
+def event_get(event: dict, ref: str) -> Any:
+    """event.get(ref) — None when the path is absent."""
+    cur: Any = event
+    for part in parse_field_ref(ref):
+        if isinstance(part, int):
+            if not isinstance(cur, list) or not (-len(cur) <= part < len(cur)):
+                return None
+            cur = cur[part]
+        else:
+            if not isinstance(cur, dict) or part not in cur:
+                return None
+            cur = cur[part]
+    return cur
+
+
+def event_include(event: dict, ref: str) -> bool:
+    """event.include?(ref) — presence check (a present-but-nil field counts
+    as present, matching LogStash::Event#include?)."""
+    cur: Any = event
+    parts = parse_field_ref(ref)
+    for part in parts:
+        if isinstance(part, int):
+            if not isinstance(cur, list) or not (-len(cur) <= part < len(cur)):
+                return False
+            cur = cur[part]
+        else:
+            if not isinstance(cur, dict) or part not in cur:
+                return False
+            cur = cur[part]
+    return True
+
+
+def event_set(event: dict, ref: str, value: Any) -> None:
+    """event.set(ref, value) — creates intermediate dicts; list indices must
+    already exist (the reference only ever sets into existing array slots)."""
+    parts = parse_field_ref(ref)
+    cur: Any = event
+    for part in parts[:-1]:
+        if isinstance(part, int):
+            cur = cur[part]
+        else:
+            if not isinstance(cur, dict):
+                raise TypeError(f"cannot set {ref!r}: non-map intermediate")
+            if part not in cur or not isinstance(cur[part], (dict, list)):
+                cur[part] = {}
+            cur = cur[part]
+    last = parts[-1]
+    if isinstance(last, int):
+        cur[last] = value
+    else:
+        cur[last] = value

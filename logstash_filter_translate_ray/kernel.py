@@ -1,0 +1,730 @@
+"""Vectorized translate kernels (Arrow) + row-oriented oracle.
+
+This module reimplements — from scratch, batch-first — the semantics of the
+reference's per-event hot path:
+
+- ``Translate#filter``            (translate.rb:264-271)
+- ``SingleValueUpdate``           (single_value_update.rb:27-47)
+- ``ArrayOfValuesUpdate``         (array_of_values_update.rb:29-45)
+- ``ArrayOfMapsValueUpdate``      (array_of_maps_value_update.rb:18-38)
+- ``FetchStrategy::Memory::{Exact,ExactRegex,RegexUnion}`` (memory.rb:4-49)
+
+The vectorized entry point is :func:`translate_table` —
+``pa.Table -> pa.Table`` adding the target column and a boolean
+``translate_matched`` column (the ``filter_matched`` bookkeeping,
+translate.rb:267). The row-oriented entry point :func:`translate_row`
+is a direct, readable transcription of the reference semantics used as the
+differential-test oracle (tests compare kernel output to oracle output on
+the same rows).
+
+Semantic fine print implemented (SURVEY §2.5):
+ S1 null/absent source ⇒ row untouched (even with fallback)
+ S2 target already present (non-null) and !override ⇒ row untouched
+ S3 lookup key is Ruby ``to_s`` of the source value (array → first elem)
+ S4 exact mode treats keys literally
+ S5 exact+regex: unanchored search, insertion-ordered first match wins
+ S6 exact=false: every occurrence of every (escaped) key substituted;
+    unchanged string ⇒ miss
+ S7 fallback is ``%{field}``-interpolated per event
+ S8 array-of-values: result same length, fallback-prefilled, nil on miss
+ S9 array-of-maps: per-element nested write, nil elements skipped
+ S11 dictionary values keep their type and never alias (deep-cloned)
+ S15 matched ⇔ a write happened (lookup or fallback) or in-place mode
+
+Columnar constraint (documented deviation): within one batch the written
+target values must unify to a single Arrow type; heterogeneous dictionaries
+work as long as the *values actually written in a batch* unify (the row
+oracle has no such constraint).
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Any, Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import TranslateConfig
+from .errors import ConfigurationError
+from .fieldref import event_get, event_include, event_set, parse_field_ref
+from .sprintf import sprintf_column, sprintf_row, _cast_to_string
+
+MATCHED_COL = "translate_matched"
+
+
+def ruby_to_s(value: Any) -> str:
+    """Ruby ``to_s`` for lookup-key coercion (single_value_update.rb:5-13)."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value.is_integer():
+        return f"{value:.1f}"
+    return str(value)
+
+
+# --------------------------------------------------------------------------
+# Dictionary snapshot (compiled once, reused across batches / pulled by actors)
+# --------------------------------------------------------------------------
+
+class DictSnapshot:
+    """Immutable ordered dictionary + lazily compiled lookup structures.
+
+    Mirrors the compile-once-per-reload discipline of the reference
+    (fetch_strategy/file.rb:36-39: "compiling a regex map of 100,000 keys
+    takes 0.5 seconds" — done at reload, never per event). Insertion order
+    is preserved (S5/S6 depend on it); duplicate keys keep their first
+    position and last value (Ruby Hash semantics).
+    """
+
+    def __init__(self, items: "dict | Iterable[tuple[Any, Any]]", version: int = 0):
+        if isinstance(items, dict):
+            items = items.items()
+        self.map: dict[str, Any] = {}
+        for k, v in items:
+            self.map[ruby_to_s(k)] = v
+        self.keys: list[str] = list(self.map.keys())
+        self.values: list[Any] = list(self.map.values())
+        self.version = version
+        # lazy caches
+        self._key_arr: Optional[pa.Array] = None
+        self._value_arr: Optional[pa.Array] = None
+        self._value_arr_tried = False
+        self._regex_rows: Optional[list[tuple[str, "re.Pattern", bool]]] = None
+        self._union_re: Optional["re.Pattern"] = None
+        self._values_str: Optional[list[str]] = None
+
+    def __len__(self) -> int:
+        return len(self.map)
+
+    @property
+    def key_array(self) -> pa.Array:
+        if self._key_arr is None:
+            self._key_arr = pa.array(self.keys, type=pa.string())
+        return self._key_arr
+
+    @property
+    def value_array(self) -> Optional[pa.Array]:
+        """Arrow array of values when they unify to one non-null type, else None."""
+        if not self._value_arr_tried:
+            self._value_arr_tried = True
+            try:
+                arr = pa.array(self.values)
+                if not pa.types.is_null(arr.type):
+                    self._value_arr = arr
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                self._value_arr = None
+        return self._value_arr
+
+    @property
+    def regex_rows(self) -> list[tuple[str, "re.Pattern", bool]]:
+        """[(raw_key, compiled, arrow_ok)] in insertion order (memory.rb:20-23)."""
+        if self._regex_rows is None:
+            rows = []
+            probe = pa.array([], type=pa.string())
+            for k in self.keys:
+                try:
+                    compiled = re.compile(k)
+                except re.error as e:
+                    raise ConfigurationError(f"invalid regex dictionary key {k!r}: {e}")
+                try:
+                    pc.match_substring_regex(probe, pattern=k)
+                    arrow_ok = True
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    arrow_ok = False
+                rows.append((k, compiled, arrow_ok))
+            self._regex_rows = rows
+        return self._regex_rows
+
+    @property
+    def union_re(self) -> Optional["re.Pattern"]:
+        """Regexp.union(keys) equivalent: literal-escaped alternation in
+        insertion order (memory.rb:38). None for an empty dictionary
+        (Ruby's Regexp.union() never matches)."""
+        if self._union_re is None and self.keys:
+            self._union_re = re.compile("|".join(re.escape(k) for k in self.keys))
+        return self._union_re
+
+    @property
+    def values_str(self) -> list[str]:
+        if self._values_str is None:
+            self._values_str = [ruby_to_s(v) for v in self.values]
+        return self._values_str
+
+    # ---- row-oriented fetches (the oracle's strategies, memory.rb:4-49) ----
+
+    def fetch_exact(self, source: str) -> tuple[bool, Any]:
+        if source in self.map:
+            return True, copy.deepcopy(self.map[source])
+        return False, None
+
+    def fetch_exact_regex(self, source: str) -> tuple[bool, Any]:
+        for k, compiled, _ in self.regex_rows:
+            if compiled.search(source):
+                return True, copy.deepcopy(self.map[k])
+        return False, None
+
+    def fetch_regex_union(self, source: str) -> tuple[bool, Any]:
+        pat = self.union_re
+        if pat is None:
+            return False, None
+        out = pat.sub(lambda m: ruby_to_s(self.map[m.group(0)]), source)
+        if out == source:
+            return False, None
+        return True, out
+
+    def fetch(self, strategy: str, source: str) -> tuple[bool, Any]:
+        if strategy == "exact":
+            return self.fetch_exact(source)
+        if strategy == "exact_regex":
+            return self.fetch_exact_regex(source)
+        return self.fetch_regex_union(source)
+
+
+# --------------------------------------------------------------------------
+# Row oracle — direct transcription of the reference semantics
+# --------------------------------------------------------------------------
+
+def translate_row(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
+    """``Translate#filter`` for one dict event; mutates ``event``; returns
+    the matched flag (translate.rb:264-271). Errors are NOT swallowed here —
+    the caller owns S12 error isolation."""
+    shape = cfg.shape
+    if shape == "single":
+        return _row_single(event, cfg, snap)
+    if shape == "array_of_values":
+        return _row_array_of_values(event, cfg, snap)
+    return _row_array_of_maps(event, cfg, snap)
+
+
+def _row_single(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
+    # test_for_inclusion (single_value_update.rb:27-31)
+    if not cfg.override and event_include(event, cfg.target):
+        return False
+    if not event_include(event, cfg.source):
+        return False
+    source = event_get(event, cfg.source)
+    if isinstance(source, list):           # CoerceArray: first elem to_s
+        source = ruby_to_s(source[0]) if source else ""
+    elif not isinstance(source, str):      # CoerceOther
+        source = ruby_to_s(source)
+    matched, value = snap.fetch(cfg.strategy, source)
+    if matched:
+        event_set(event, cfg.target, value)
+    elif cfg.fallback is not None:
+        event_set(event, cfg.target, sprintf_row(cfg.fallback, event))
+        matched = True
+    return matched or cfg.in_place
+
+
+def _row_array_of_values(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
+    if not cfg.override and event_include(event, cfg.target):
+        return False
+    if not event_include(event, cfg.iterate_on):
+        return False
+    val = event_get(event, cfg.iterate_on)
+    source = val if isinstance(val, list) else ([] if val is None else [val])
+    target: list[Any] = [None] * len(source)
+    if cfg.fallback is not None:
+        target = [sprintf_row(cfg.fallback, event)] * len(source)
+    for i, inner in enumerate(source):
+        matched, value = snap.fetch(cfg.strategy, ruby_to_s(inner))
+        if matched:
+            target[i] = value
+    event_set(event, cfg.target, target)
+    # Ruby Array#any? — truthiness (nil/false falsy)
+    updated = any(v is not None and v is not False for v in target)
+    return updated or cfg.in_place
+
+
+def _row_array_of_maps(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
+    # inclusion ignores override (array_of_maps_value_update.rb:14-16)
+    if not event_include(event, cfg.iterate_on):
+        return False
+    val = event_get(event, cfg.iterate_on)
+    source = val if isinstance(val, list) else ([] if val is None else [val])
+    matches = [False] * len(source)
+    for i, elem in enumerate(source):
+        if not isinstance(elem, dict):
+            continue
+        inner = event_get(elem, cfg.source)
+        if inner is None:
+            continue
+        matched, value = snap.fetch(cfg.strategy, ruby_to_s(inner))
+        if matched:
+            event_set(elem, cfg.target, value)
+            matches[i] = True
+        elif cfg.fallback is not None:
+            event_set(elem, cfg.target, sprintf_row(cfg.fallback, event))
+            matches[i] = True
+    return any(matches)
+
+
+# --------------------------------------------------------------------------
+# Vectorized lookups over a string array
+# --------------------------------------------------------------------------
+
+def _as_array(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def lookup_exact(src: pa.Array, snap: DictSnapshot) -> tuple[np.ndarray, Optional[pa.Array], Optional[np.ndarray]]:
+    """Exact hash lookup over a string array.
+
+    Returns (matched_mask[np.bool_], values | None, match_index | None):
+    ``values`` is an Arrow array aligned with ``src`` when the dictionary
+    values unify (vector path); otherwise ``match_index`` (int64, -1 = miss)
+    lets the caller materialize Python values for matched rows only.
+    """
+    if len(snap) == 0:
+        return np.zeros(len(src), dtype=bool), None, np.full(len(src), -1)
+    idx = pc.index_in(src, value_set=snap.key_array)
+    matched = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    varr = snap.value_array
+    if varr is not None:
+        return matched, pc.take(varr, idx), None
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    idx_np = np.where(matched, idx_np, -1).astype(np.int64)
+    return matched, None, idx_np
+
+
+def lookup_exact_regex(src: pa.Array, snap: DictSnapshot,
+                       candidates: Optional[np.ndarray] = None
+                       ) -> tuple[np.ndarray, Optional[pa.Array], Optional[np.ndarray]]:
+    """Ordered first-match-wins regex lookup (S5). Vectorized per pattern:
+    one ``pc.match_substring_regex`` pass per dictionary key over the
+    not-yet-matched rows; Python ``re`` fallback for RE2-incompatible
+    patterns (lookaround/backrefs)."""
+    n = len(src)
+    match_idx = np.full(n, -1, dtype=np.int64)
+    valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
+    remaining = valid.copy()
+    if candidates is not None:
+        remaining &= candidates
+    src_np: Optional[np.ndarray] = None
+    for j, (raw, compiled, arrow_ok) in enumerate(snap.regex_rows):
+        if not remaining.any():
+            break
+        if arrow_ok:
+            m = pc.match_substring_regex(src, pattern=raw).to_numpy(zero_copy_only=False)
+            m = np.where(valid, m, False).astype(bool)
+        else:
+            if src_np is None:
+                src_np = src.to_numpy(zero_copy_only=False)
+            m = np.zeros(n, dtype=bool)
+            for i in np.nonzero(remaining)[0]:
+                m[i] = compiled.search(src_np[i]) is not None
+        newly = m & remaining
+        match_idx[newly] = j
+        remaining &= ~newly
+    matched = match_idx >= 0
+    varr = snap.value_array
+    if varr is not None:
+        take_idx = pa.array(np.where(matched, match_idx, 0), type=pa.int64())
+        vals = pc.take(varr, take_idx)
+        vals = pc.if_else(pa.array(matched), vals, pa.nulls(n, varr.type))
+        return matched, vals, None
+    return matched, None, match_idx
+
+
+def lookup_regex_union(src: pa.Array, snap: DictSnapshot,
+                       candidates: Optional[np.ndarray] = None
+                       ) -> tuple[np.ndarray, pa.Array, None]:
+    """gsub-every-occurrence substitution (S6). Inherently per-string
+    (callable replacement), but the pattern is compiled once per snapshot
+    and the loop runs only over candidate rows; misses short-circuit via a
+    vectorized containment pre-filter when the union is a plain alternation."""
+    n = len(src)
+    pat = snap.union_re
+    matched = np.zeros(n, dtype=bool)
+    if pat is None or n == 0:
+        return matched, pa.nulls(n, pa.string()), None
+    valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
+    todo = valid if candidates is None else (valid & candidates)
+    src_np = src.to_numpy(zero_copy_only=False)
+    out = np.full(n, None, dtype=object)
+    m = snap.map
+    values_str = snap.values_str  # noqa: F841 (kept warm for the lambda's dict)
+    sub = pat.sub
+    for i in np.nonzero(todo)[0]:
+        s = src_np[i]
+        r = sub(lambda mt: ruby_to_s(m[mt.group(0)]), s)
+        if r != s:
+            out[i] = r
+            matched[i] = True
+    return matched, pa.array(out, type=pa.string()), None
+
+
+def _lookup(strategy: str, src: pa.Array, snap: DictSnapshot,
+            candidates: Optional[np.ndarray] = None):
+    if strategy == "exact":
+        matched, vals, idx = lookup_exact(src, snap)
+        if candidates is not None:
+            matched &= candidates
+        return matched, vals, idx
+    if strategy == "exact_regex":
+        return lookup_exact_regex(src, snap, candidates)
+    return lookup_regex_union(src, snap, candidates)
+
+
+def _materialize_values(matched: np.ndarray, idx: np.ndarray, snap: DictSnapshot,
+                        fallback_np: Optional[np.ndarray]) -> pa.Array:
+    """Python-object path for dictionaries whose values don't unify to one
+    Arrow type: deep-typed values for matched rows, fallback strings (if
+    any) for the rest; the batch's actually-written values must unify."""
+    n = len(matched)
+    out = np.full(n, None, dtype=object)
+    vals = snap.values
+    for i in np.nonzero(matched)[0]:
+        out[i] = vals[idx[i]]
+    if fallback_np is not None:
+        miss = ~matched
+        out[miss] = fallback_np[miss]
+    try:
+        return pa.array(out.tolist())
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise ConfigurationError(
+            "dictionary values written in one batch must unify to a single "
+            f"Arrow type (columnar constraint): {e}"
+        )
+
+
+# --------------------------------------------------------------------------
+# Source coercion (S3) — column → lookup-key string column
+# --------------------------------------------------------------------------
+
+def coerce_source_column(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Ruby to_s of the source column; list columns take their first element
+    (single_value_update.rb:9 CoerceArray; empty array → nil.to_s → "")."""
+    col = _as_array(col)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+        flat = _as_array(pc.list_flatten(col))
+        flat_str = coerce_source_column(flat)
+        starts = np.zeros(len(col), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:] if len(col) > 1 else starts[:0])
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        nonempty = lens > 0
+        take = np.where(nonempty, starts, -1)
+        take_arr = pa.array(np.where(take >= 0, take, 0), type=pa.int64())
+        first = pc.take(flat_str, take_arr)
+        # empty list → "" (Ruby source.first.to_s with nil first)
+        first = pc.if_else(pa.array(nonempty), first, pa.scalar("", type=pa.string()))
+        # null list row → null (handled by inclusion mask upstream)
+        return pc.if_else(pa.array(valid), first, pa.nulls(len(col), pa.string()))
+    return _as_array(_cast_to_string(col))
+
+
+def _nulls_like(n: int, type_: Optional[pa.DataType]) -> pa.Array:
+    return pa.nulls(n, type_ if type_ is not None else pa.string())
+
+
+def _merge_into_target(tbl: pa.Table, target: str, write_mask: np.ndarray,
+                       new_vals: pa.Array) -> pa.Table:
+    """Write ``new_vals`` into column ``target`` where ``write_mask``,
+    preserving existing values elsewhere (S2 skip semantics)."""
+    n = len(tbl)
+    mask_arr = pa.array(write_mask)
+    if target in tbl.column_names:
+        existing = _as_array(tbl[target])
+        if existing.type != new_vals.type:
+            if pa.types.is_null(new_vals.type):
+                new_vals = pa.nulls(n, existing.type)
+            elif pa.types.is_null(existing.type):
+                existing = pa.nulls(n, new_vals.type)
+            else:
+                existing = pc.cast(existing, pa.string()) if not pa.types.is_string(existing.type) else existing
+                new_vals = _cast_to_string(new_vals) if not pa.types.is_string(new_vals.type) else new_vals
+                new_vals = _as_array(new_vals)
+        merged = pc.if_else(mask_arr, new_vals, existing)
+        i = tbl.column_names.index(target)
+        return tbl.set_column(i, target, merged)
+    merged = pc.if_else(mask_arr, new_vals, _nulls_like(n, new_vals.type))
+    return tbl.append_column(target, merged)
+
+
+# --------------------------------------------------------------------------
+# translate_table — the batch kernel (dispatch on cfg.shape)
+# --------------------------------------------------------------------------
+
+def translate_table(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
+                    matched_col: Optional[str] = MATCHED_COL) -> pa.Table:
+    """Vectorized ``Translate#filter`` over a whole Arrow batch.
+
+    Adds/overwrites the target column per the configured shape × strategy
+    and (unless ``matched_col=None``) a boolean matched column (S15).
+    Rows failing inclusion (S1/S2) pass through untouched.
+    """
+    shape = cfg.shape
+    if shape == "single":
+        return _table_single(tbl, cfg, snap, matched_col)
+    if shape == "array_of_values":
+        return _table_array_of_values(tbl, cfg, snap, matched_col)
+    return _table_array_of_maps(tbl, cfg, snap, matched_col)
+
+
+def _with_matched(tbl: pa.Table, matched_col: Optional[str], mask: np.ndarray) -> pa.Table:
+    if matched_col is None:
+        return tbl
+    arr = pa.array(mask)
+    if matched_col in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(matched_col), matched_col, arr)
+    return tbl.append_column(matched_col, arr)
+
+
+def _inclusion_mask(tbl: pa.Table, cfg: TranslateConfig, source_field: str,
+                    check_override: bool = True) -> np.ndarray:
+    """S1 + S2 as a boolean row mask. In the fixed-schema columnar world,
+    "field absent" ⇔ null cell (SURVEY §2 hard part (b))."""
+    n = len(tbl)
+    if source_field not in tbl.column_names:
+        return np.zeros(n, dtype=bool)
+    incl = pc.is_valid(tbl[source_field]).to_numpy(zero_copy_only=False).copy()
+    if check_override and not cfg.override and cfg.target in tbl.column_names \
+            and cfg.target != source_field:
+        target_absent = pc.is_null(tbl[cfg.target]).to_numpy(zero_copy_only=False)
+        incl &= target_absent
+    return incl
+
+
+def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
+                  matched_col: Optional[str]) -> pa.Table:
+    n = len(tbl)
+    incl = _inclusion_mask(tbl, cfg, cfg.source)
+    if not incl.any():
+        out = _merge_into_target(tbl, cfg.target, incl, _nulls_like(n, None)) \
+            if cfg.target not in tbl.column_names else tbl
+        return _with_matched(out, matched_col, incl)
+
+    src = coerce_source_column(tbl[cfg.source])
+    matched, vals, idx = _lookup(cfg.strategy, src, snap, candidates=incl)
+    matched = matched & incl
+
+    fb_np: Optional[np.ndarray] = None
+    if cfg.fallback is not None:
+        fb_arr = sprintf_column(cfg.fallback, tbl)
+        fb_np = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
+
+    if vals is None:
+        new_vals = _materialize_values(matched, idx, snap, fb_np)
+        write_mask = incl if fb_np is not None else matched
+    elif fb_np is not None:
+        fb_pa = pa.array(fb_np.tolist(), type=pa.string())
+        if not pa.types.is_string(vals.type) and not pa.types.is_null(vals.type):
+            vals = _as_array(_cast_to_string(vals))
+        if pa.types.is_null(vals.type):
+            vals = pa.nulls(n, pa.string())
+        new_vals = pc.if_else(pa.array(matched), vals, fb_pa)
+        write_mask = incl
+    else:
+        new_vals = vals
+        write_mask = matched
+
+    out = _merge_into_target(tbl, cfg.target, write_mask, new_vals)
+    final_matched = (incl.copy() if cfg.in_place else write_mask.copy())
+    return _with_matched(out, matched_col, final_matched)
+
+
+def _list_offsets(lens: np.ndarray) -> pa.Array:
+    off = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    return pa.array(off, type=pa.int32())
+
+
+def _repeat_by(vals: Optional[np.ndarray], lens: np.ndarray) -> Optional[np.ndarray]:
+    if vals is None:
+        return None
+    return np.repeat(vals, lens)
+
+
+def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
+                           matched_col: Optional[str]) -> pa.Table:
+    """O4: iterate_on == source; list column element-wise translate (S8)."""
+    n = len(tbl)
+    it = cfg.iterate_on
+    incl = _inclusion_mask(tbl, cfg, it)
+    if it not in tbl.column_names or not incl.any():
+        out = tbl if cfg.target in tbl.column_names else \
+            tbl.append_column(cfg.target, pa.nulls(n, pa.list_(pa.string())))
+        return _with_matched(out, matched_col, np.zeros(n, dtype=bool))
+
+    col = _as_array(tbl[it])
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+        # CoerceOther: Array(scalar) — treat each row as a 1-element list
+        col = pa.ListArray.from_arrays(
+            _list_offsets(np.ones(n, dtype=np.int64)), coerce_source_column(col))
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    # rows outside the inclusion mask contribute no elements to the kernel
+    eff_lens = np.where(incl, lens, 0)
+    flat_all = _as_array(pc.list_flatten(col))
+    if incl.all():
+        flat = flat_all
+    else:
+        # select elements of included rows only
+        row_of = np.repeat(np.arange(n), lens)
+        flat = _as_array(flat_all.filter(pa.array(incl[row_of])))
+    flat_str = coerce_source_column(flat)
+
+    f_matched, f_vals, f_idx = _lookup(cfg.strategy, flat_str, snap)
+
+    fb_flat: Optional[np.ndarray] = None
+    if cfg.fallback is not None:
+        fb_arr = sprintf_column(cfg.fallback, tbl)
+        fb_row = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
+        fb_flat = _repeat_by(fb_row, eff_lens)
+
+    if f_vals is None:
+        elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat)
+    elif fb_flat is not None:
+        if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
+            f_vals = _as_array(_cast_to_string(f_vals))
+        if pa.types.is_null(f_vals.type):
+            f_vals = pa.nulls(len(flat), pa.string())
+        elem_vals = pc.if_else(pa.array(f_matched), f_vals,
+                               pa.array(fb_flat.tolist(), type=pa.string()))
+    else:
+        if pa.types.is_null(f_vals.type):
+            f_vals = pa.nulls(len(flat), pa.string())
+        elem_vals = pc.if_else(pa.array(f_matched), f_vals, pa.nulls(len(flat), f_vals.type))
+
+    new_lists = pa.ListArray.from_arrays(_list_offsets(eff_lens), elem_vals)
+
+    # matched per row: Ruby target.any? — truthiness over the result slots (S8)
+    truthy = pc.is_valid(elem_vals).to_numpy(zero_copy_only=False).copy()
+    if pa.types.is_boolean(elem_vals.type):
+        bools = elem_vals.to_numpy(zero_copy_only=False)
+        truthy &= np.asarray([bool(b) for b in bools])
+    row_any = np.zeros(n, dtype=bool)
+    if truthy.any():
+        row_of_eff = np.repeat(np.arange(n), eff_lens)
+        np.logical_or.at(row_any, row_of_eff, truthy)
+
+    out = _merge_into_target_list(tbl, cfg.target, incl, new_lists)
+    return _with_matched(out, matched_col, incl if cfg.in_place else (row_any & incl))
+
+
+def _merge_into_target_list(tbl: pa.Table, target: str, write_mask: np.ndarray,
+                            new_lists: pa.Array) -> pa.Table:
+    """List-typed variant of _merge_into_target (pc.if_else lacks list support)."""
+    n = len(tbl)
+    if target in tbl.column_names and not write_mask.all():
+        existing = _as_array(tbl[target])
+        # slow-path splice (rare: list target + partial write)
+        out_py = existing.to_pylist()
+        new_py = new_lists.to_pylist()
+        for i in np.nonzero(write_mask)[0]:
+            out_py[i] = new_py[i]
+        merged = pa.array(out_py, type=new_lists.type)
+        return tbl.set_column(tbl.column_names.index(target), target, merged)
+    if not write_mask.all():
+        # null-out non-written rows
+        new_py = new_lists.to_pylist()
+        for i in np.nonzero(~write_mask)[0]:
+            new_py[i] = None
+        new_lists = pa.array(new_py, type=new_lists.type)
+    if target in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(target), target, new_lists)
+    return tbl.append_column(target, new_lists)
+
+
+def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
+                         matched_col: Optional[str]) -> pa.Table:
+    """O5: iterate_on ≠ source; list<struct> column, translate the ``source``
+    child into the ``target`` child per element (S9). Offsets surgery, no
+    per-row Python (SURVEY §2 hard part (d))."""
+    n = len(tbl)
+    it = cfg.iterate_on
+    # inclusion ignores override (array_of_maps_value_update.rb:14-16)
+    incl = _inclusion_mask(tbl, cfg, it, check_override=False)
+    if it not in tbl.column_names or not incl.any():
+        return _with_matched(tbl, matched_col, np.zeros(n, dtype=bool))
+
+    col = _as_array(tbl[it])
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+        raise ConfigurationError(
+            f"iterate_on column {it!r} must be list<struct>, got {col.type}")
+    if not pa.types.is_struct(col.type.value_type):
+        raise ConfigurationError(
+            f"iterate_on column {it!r} must be list<struct>, got {col.type}")
+
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = _as_array(pc.list_flatten(col))  # StructArray of all elements
+    src_path = parse_field_ref(cfg.source)
+    inner = flat
+    for part in src_path:
+        inner = pc.struct_field(inner, part)
+    inner_valid = pc.is_valid(inner).to_numpy(zero_copy_only=False) \
+        & pc.is_valid(flat).to_numpy(zero_copy_only=False)
+    inner_str = coerce_source_column(inner)
+
+    f_matched, f_vals, f_idx = _lookup(cfg.strategy, inner_str, snap,
+                                       candidates=inner_valid.copy())
+    f_matched = f_matched & inner_valid
+
+    fb_flat: Optional[np.ndarray] = None
+    if cfg.fallback is not None:
+        fb_arr = sprintf_column(cfg.fallback, tbl)
+        fb_row = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
+        fb_flat = _repeat_by(fb_row, lens)
+
+    write_elem = f_matched | (inner_valid & (fb_flat is not None))
+
+    if f_vals is None:
+        elem_vals = _materialize_values(f_matched, f_idx, snap,
+                                        fb_flat if fb_flat is not None else None)
+    elif fb_flat is not None:
+        if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
+            f_vals = _as_array(_cast_to_string(f_vals))
+        if pa.types.is_null(f_vals.type):
+            f_vals = pa.nulls(len(flat), pa.string())
+        elem_vals = pc.if_else(pa.array(f_matched), f_vals,
+                               pa.array(fb_flat.tolist(), type=pa.string()))
+    else:
+        if pa.types.is_null(f_vals.type):
+            f_vals = pa.nulls(len(flat), pa.string())
+        elem_vals = f_vals
+    # only write where write_elem
+    elem_vals = pc.if_else(pa.array(write_elem), elem_vals,
+                           pa.nulls(len(flat), elem_vals.type))
+
+    # rebuild struct with target child added/overwritten
+    target_name = parse_field_ref(cfg.target)[-1]
+    names = [f.name for f in flat.type]
+    arrays = [flat.field(i) for i in range(flat.type.num_fields)]
+    if target_name in names:
+        ti = names.index(target_name)
+        old = arrays[ti]
+        if old.type != elem_vals.type and not pa.types.is_null(old.type):
+            old = _as_array(_cast_to_string(old)) if not pa.types.is_null(elem_vals.type) else old
+            elem_vals = _as_array(_cast_to_string(elem_vals))
+        merged = pc.if_else(pa.array(write_elem), elem_vals,
+                            old if old.type == elem_vals.type else pa.nulls(len(flat), elem_vals.type))
+        arrays[ti] = merged
+    else:
+        names.append(target_name)
+        arrays.append(elem_vals)
+    elem_null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
+    new_flat = pa.StructArray.from_arrays(
+        arrays, names, mask=pa.array(elem_null_mask))
+
+    new_col = pa.ListArray.from_arrays(_list_offsets(lens), new_flat)
+    # preserve null rows of the original list column
+    col_null = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if col_null.any():
+        py = new_col.to_pylist()
+        for i in np.nonzero(col_null)[0]:
+            py[i] = None
+        new_col = pa.array(py, type=new_col.type)
+
+    out = tbl.set_column(tbl.column_names.index(it), it, new_col)
+    row_matched = np.zeros(n, dtype=bool)
+    if write_elem.any():
+        row_of = np.repeat(np.arange(n), lens)
+        np.logical_or.at(row_matched, row_of, write_elem)
+    row_matched &= incl
+    return _with_matched(out, matched_col, row_matched)

@@ -1,0 +1,109 @@
+"""Logstash ``event.sprintf`` — ``%{field}`` interpolation for fallback values.
+
+Reference usage: ``single_value_update.rb:43``, ``array_of_values_update.rb:34``,
+``array_of_maps_value_update.rb:33``; behavior spec'd at
+``spec/filters/translate_spec.rb:191-207`` ("fallback value - allowed to be
+a sprintf", ``%{missing_translation}`` resolved from the event).
+
+Semantics implemented (matching LogStash::StringInterpolation for the subset
+the plugin exercises):
+- ``%{ref}`` → string form of ``event.get(ref)``; nested refs allowed.
+- An unresolvable reference renders as the literal ``%{ref}`` text.
+- Text with no ``%{`` is returned as-is (the common static-fallback case).
+
+``%{+date-format}`` sprintf is out of scope (never used by the plugin's specs).
+
+Two implementations: a row version for the oracle, and a column compiler
+that turns a template into a vectorized Arrow expression over a batch
+(per-row fallback values computed once per batch, zero Python-per-row when
+the template is static or references string columns).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fieldref import event_get, event_include
+
+_REF = re.compile(r"%\{([^}]+)\}")
+
+
+def _to_s(value: Any) -> str:
+    """Ruby-ish to_s for interpolated values."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value.is_integer():
+        return f"{value:.1f}"  # Ruby 2.0.to_s == "2.0"
+    return str(value)
+
+
+def sprintf_row(template: str, event: dict) -> str:
+    """Row-oriented event.sprintf."""
+    if "%{" not in template:
+        return template
+
+    def repl(m: re.Match) -> str:
+        ref = m.group(1)
+        if event_include(event, ref):
+            return _to_s(event_get(event, ref))
+        return m.group(0)  # unresolved → literal
+
+    return _REF.sub(repl, template)
+
+
+def is_static(template: str) -> bool:
+    return "%{" not in template
+
+
+def sprintf_column(template: str, tbl: pa.Table) -> pa.Array:
+    """Vectorized event.sprintf over a batch: returns a string array of
+    length ``len(tbl)`` with the template rendered per row.
+
+    Static templates produce a constant array. ``%{col}`` segments are
+    spliced with ``pc.binary_join_element_wise`` over casted columns;
+    a null cell renders as the literal ``%{col}`` (absent-field semantics —
+    in the fixed-schema pipeline null ⇔ absent, see SURVEY §2.5 S1 note).
+    """
+    n = len(tbl)
+    if is_static(template):
+        return pa.array(np.full(n, template, dtype=object), type=pa.string())
+
+    pieces: list[pa.Array] = []
+    pos = 0
+    for m in _REF.finditer(template):
+        literal = template[pos : m.start()]
+        pieces.append(_const(literal, n))
+        ref = m.group(1)
+        if ref in tbl.column_names:
+            col = tbl[ref]
+            s = _cast_to_string(col)
+            # null → literal %{ref}
+            s = pc.if_else(pc.is_valid(s), s, pa.scalar(m.group(0), type=pa.string()))
+            pieces.append(s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)
+        else:
+            pieces.append(_const(m.group(0), n))
+        pos = m.end()
+    pieces.append(_const(template[pos:], n))
+    return pc.binary_join_element_wise(*pieces, "")
+
+
+def _const(text: str, n: int) -> pa.Array:
+    return pa.array(np.full(n, text, dtype=object), type=pa.string())
+
+
+def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return col
+    if pa.types.is_floating(col.type):
+        # Ruby Float#to_s keeps a trailing .0; Arrow cast drops it — go via numpy
+        vals = col.to_numpy(zero_copy_only=False)
+        out = [None if v is None or (isinstance(v, float) and np.isnan(v)) else _to_s(float(v)) for v in vals]
+        return pa.array(out, type=pa.string())
+    return pc.cast(col, pa.string())
