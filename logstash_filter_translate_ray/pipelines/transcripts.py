@@ -1,0 +1,187 @@
+"""The flagship parse → enrich → route → aggregate DAG over transcript
+Parquet (BASELINE.json north_star), expressed Ray-Data-first:
+
+  read_parquet (column-pruned)
+    → parse_dataset          (stateless map_batches, RE2 kernels)
+    → translate tool         (exact dict, broadcast snapshot)
+    → translate status       (regex-key dict, ordered first-match)
+    → route by role          (dictionary-driven route column, fallback)
+    → ONE pass fan-out write (partition_cols=["route"])
+    → aggregates             (combiner-style pre-agg, then tiny shuffle)
+
+Every stage is a batch transform over zero-copy Arrow; the only shuffles
+are the final tiny aggregates over per-batch partials. The per-turn
+``text`` column is never rewritten (input_hint invariant: per-turn text
+equality under stable (conv_id, turn_idx) ordering).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import TranslateConfig
+from ..checkpoint import CheckpointStore, ShardManifest
+from ..stages.aggregate import conv_turn_counts, matched_counts, sink_counts
+from ..stages.parse import ParseConfig, parse_dataset
+from ..stages.route import route_dataset, write_routed
+from ..stages.translate_stage import translate_dataset
+
+# Default dictionaries for the transcript DAG (FIXTURES.md §B): small,
+# broadcast, deterministic.
+TOOL_DICT = {"search": "Web Search", "code": "Code Interpreter",
+             "browser": "Browser", "calc": "Calculator"}
+STATUS_REGEX_DICT = {"^2[0-9][0-9]$": "OK", "^3..": "Redirect",
+                     "^4..": "Client Error", "^5..": "Server Error"}
+WORD_DICT = {"merci": "thanks", "thanks": "thanks", "ok": "ack",
+             "error": "failure", "retry": "failure"}
+ROLE_ROUTES = {"user": "user_turns", "assistant": "assistant_turns",
+               "system": "control", "tool": "tool_calls"}
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+@dataclass
+class TranscriptPipelineConfig:
+    tool_dict: dict[str, str] = field(default_factory=lambda: dict(TOOL_DICT))
+    status_regex_dict: dict[str, str] = field(
+        default_factory=lambda: dict(STATUS_REGEX_DICT))
+    word_dict: dict[str, str] = field(default_factory=lambda: dict(WORD_DICT))
+    routes: dict[str, str] = field(default_factory=lambda: dict(ROLE_ROUTES))
+    tool_fallback: str = "no tool"
+    status_fallback: Optional[str] = "unknown status %{status}"
+    default_route: str = "other"
+    tool_dict_path: Optional[str] = None      # file-backed + refresh variant
+    refresh_interval: float = 300
+    batch_size: Optional[int] = None           # None → Ray Data default sizing
+    parse: ParseConfig = field(default_factory=ParseConfig.transcripts)
+
+
+def build_enriched_dataset(ds: "rd.Dataset",
+                           cfg: Optional[TranscriptPipelineConfig] = None,
+                           ) -> "rd.Dataset":
+    """parse → enrich(tool, status, word) → route. Lazy — nothing executes."""
+    cfg = cfg or TranscriptPipelineConfig()
+    ds = parse_dataset(ds, cfg.parse, batch_size=cfg.batch_size)
+
+    # enrich 1: tool → tool_label (exact; file-backed actor pool if a path
+    # is configured, else broadcast stateless tasks)
+    tool_cfg = TranslateConfig(
+        source="tool_norm", target="tool_label",
+        dictionary={} if cfg.tool_dict_path else dict(cfg.tool_dict),
+        dictionary_path=cfg.tool_dict_path,
+        refresh_interval=cfg.refresh_interval,
+        fallback=cfg.tool_fallback, override=True)
+    ds = translate_dataset(ds, tool_cfg, matched_col="tool_matched",
+                           batch_size=cfg.batch_size)
+
+    # enrich 2: parsed status code → class (regex keys, ordered first-match)
+    status_cfg = TranslateConfig(
+        source="status", target="status_class", exact=True, regex=True,
+        dictionary=dict(cfg.status_regex_dict),
+        fallback=cfg.status_fallback, override=True)
+    ds = translate_dataset(ds, status_cfg, matched_col="status_matched",
+                           batch_size=cfg.batch_size)
+
+    # enrich 3: parsed word → normalized sentiment token (exact, no fallback)
+    word_cfg = TranslateConfig(source="word", target="word_norm",
+                               dictionary=dict(cfg.word_dict), override=True)
+    ds = translate_dataset(ds, word_cfg, matched_col="word_matched",
+                           batch_size=cfg.batch_size)
+
+    # route by role (dictionary-driven, single pass)
+    ds = route_dataset(ds, cfg.routes, key="role",
+                       default_route=cfg.default_route)
+    return ds
+
+
+def read_transcripts(path: "str | list[str]") -> "rd.Dataset":
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
+                 cfg: Optional[TranscriptPipelineConfig] = None,
+                 ) -> dict[str, Any]:
+    """Run the DAG once (non-resumable form). Returns the aggregates as
+    small pandas frames; when ``out_dir`` is given the routed rows are also
+    written as hive-partitioned parquet in the same streaming pass."""
+    cfg = cfg or TranscriptPipelineConfig()
+    ds = build_enriched_dataset(read_transcripts(input_path), cfg)
+    if out_dir is not None:
+        write_routed(ds, out_dir)
+        # aggregates over what was written (single source of truth)
+        ds = rd.read_parquet(out_dir)
+    routes = sink_counts(ds, by=["tool_label"]).to_pandas()
+    matched = matched_counts(ds, "status_matched").to_pandas()
+    convs = conv_turn_counts(ds).to_pandas()
+    return {"sink_counts": routes, "status_matched_counts": matched,
+            "conv_turn_counts": convs}
+
+
+# ---------------------------------------------------------------------------
+# Resumable form: shard = group of input files, manifest per shard
+# ---------------------------------------------------------------------------
+
+def _shard_inputs(input_path: "str | list[str]", shard_files: int) -> list[list[str]]:
+    if isinstance(input_path, str):
+        if os.path.isdir(input_path):
+            files = sorted(
+                os.path.join(input_path, f) for f in os.listdir(input_path)
+                if f.endswith(".parquet"))
+        else:
+            files = [input_path]
+    else:
+        files = sorted(input_path)
+    return [files[i:i + shard_files] for i in range(0, len(files), shard_files)]
+
+
+def run_resumable(input_path: "str | list[str]", out_dir: str,
+                  cfg: Optional[TranscriptPipelineConfig] = None,
+                  shard_files: int = 4) -> dict[str, Any]:
+    """Checkpointed run: one manifest + one atomically-renamed output dir
+    per input shard; re-running skips completed shards and merges their
+    recorded metrics (exactly-once aggregate accounting over at-least-once
+    task retries — SURVEY §4 'Retries / faults')."""
+    cfg = cfg or TranscriptPipelineConfig()
+    store = CheckpointStore(out_dir)
+    shards = _shard_inputs(input_path, shard_files)
+    ran, skipped = 0, 0
+    for i, files in enumerate(shards):
+        shard_id = f"{i:05d}"
+        if store.is_done(shard_id):
+            skipped += 1
+            continue
+        tmp = store.begin_shard(shard_id)
+        ds = build_enriched_dataset(read_transcripts(files), cfg)
+        write_routed(ds, tmp)
+        written = rd.read_parquet(tmp)
+        routes = sink_counts(written).to_pandas()
+        matched = matched_counts(written, "status_matched").to_pandas()
+        rows_out = int(routes["n"].sum())
+        rows_in = sum(pq.read_metadata(f).num_rows for f in files)
+        final = store.finish_shard(shard_id)
+        store.commit(ShardManifest(
+            shard_id=shard_id, input_files=list(files), output_dir=final,
+            rows_in=rows_in, rows_out=rows_out,
+            route_counts={str(r): int(n) for r, n in
+                          zip(routes["route"], routes["n"])},
+            matched_counts={str(m): int(n) for m, n in
+                            zip(matched["status_matched"], matched["n"])}))
+        ran += 1
+    manifests = store.load_all()
+    route_totals: dict[str, int] = {}
+    matched_totals: dict[str, int] = {}
+    for m in manifests:
+        for k, v in m.route_counts.items():
+            route_totals[k] = route_totals.get(k, 0) + v
+        for k, v in m.matched_counts.items():
+            matched_totals[k] = matched_totals.get(k, 0) + v
+    return {"shards_run": ran, "shards_skipped": skipped,
+            "rows_out": sum(m.rows_out for m in manifests),
+            "route_counts": route_totals, "matched_counts": matched_totals}

@@ -1,0 +1,116 @@
+"""Translate as a Ray Data stage.
+
+Two physical flavors, chosen by :func:`translate_dataset`:
+
+1. **Stateless tasks** (inline/static dictionary): the frozen
+   :class:`DictSnapshot` is ``ray.put`` once and captured by reference —
+   every task reads it zero-copy from the object store (broadcast join,
+   never a shuffle; SURVEY §2.3 "Joins / lookups").
+2. **Actor pool** (file-backed / refreshing dictionary):
+   :class:`TranslateFn` — an actor class whose ``__init__`` pulls the
+   snapshot from the named :class:`DictionaryService` ONCE, compiles the
+   lookup structures, and whose ``__call__`` re-polls the version at batch
+   boundaries (a tiny RPC) and swaps snapshots atomically. This mirrors the
+   plugin's scheduled_reload without its read-write lock
+   (fetch_strategy/file.rb:13-24 → lock-free snapshot swap).
+
+Both run ``batch_format="pyarrow"`` end to end (zero-copy blocks).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+import ray
+
+from ..config import TranslateConfig
+from ..kernel import DictSnapshot, translate_table
+from ..state import get_or_create_dictionary_service
+
+
+def make_translate_batch_fn(cfg: TranslateConfig, snap_ref: "ray.ObjectRef | DictSnapshot",
+                            matched_col: Optional[str] = "translate_matched"):
+    """Stateless map_batches fn over a broadcast snapshot.
+
+    ``snap_ref`` may be a raw snapshot (tests) or an ``ObjectRef`` placed
+    once on the driver (``ray.put``) so N thousand tasks share one plasma
+    copy per node instead of re-shipping the dict per task.
+    """
+    def _fn(batch: pa.Table) -> pa.Table:
+        snap = snap_ref
+        if isinstance(snap, ray.ObjectRef):
+            snap = ray.get(snap)
+        return translate_table(batch, cfg, snap, matched_col)
+    return _fn
+
+
+class TranslateFn:
+    """Actor-pool translate stage with hot dictionary refresh.
+
+    ``__init__`` runs once per actor (compile/pull cost amortized over the
+    actor's lifetime); ``__call__`` runs per batch. ``poll_every`` batches
+    between version polls bounds the RPC overhead for tiny batches.
+    """
+
+    def __init__(self, cfg: TranslateConfig, service_name: str,
+                 matched_col: Optional[str] = "translate_matched",
+                 poll_every: int = 1, service_kwargs: Optional[dict[str, Any]] = None):
+        self.cfg = cfg
+        self.matched_col = matched_col
+        self.poll_every = max(1, poll_every)
+        self._svc = get_or_create_dictionary_service(
+            service_name, **(service_kwargs or {}))
+        self.snap: DictSnapshot = ray.get(self._svc.get_snapshot.remote())
+        self._batches = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._batches += 1
+        if self._batches % self.poll_every == 0:
+            newer = ray.get(self._svc.version_if_newer.remote(self.snap.version))
+            if newer is not None:
+                self.snap = ray.get(self._svc.get_snapshot.remote())
+        return translate_table(batch, self.cfg, self.snap, self.matched_col)
+
+
+def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
+                      matched_col: Optional[str] = "translate_matched",
+                      service_name: Optional[str] = None,
+                      concurrency: "int | tuple[int, int] | None" = None,
+                      batch_size: Optional[int] = None,
+                      num_cpus: float = 1) -> "ray.data.Dataset":
+    """Attach the translate stage to a Dataset.
+
+    - inline dictionary → stateless tasks over a broadcast snapshot;
+    - ``cfg.dictionary_path`` set → actor pool + DictionaryService named
+      ``service_name`` (default derived from the path) with the plugin's
+      refresh semantics.
+    """
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow", "num_cpus": num_cpus}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    if cfg.dictionary_path:
+        name = service_name or f"lftr-dict:{cfg.dictionary_path}"
+        service_kwargs = dict(
+            path=cfg.dictionary_path,
+            refresh_interval=cfg.refresh_interval,
+            refresh_behaviour=cfg.refresh_behaviour,
+            yaml_code_point_limit=cfg.yaml_dictionary_code_point_limit,
+            yaml_load_strategy=cfg.yaml_load_strategy,
+        )
+        # eagerly create (and first-load) the service so a bad dictionary
+        # fails at pipeline BUILD time, matching register-time behavior (S13)
+        svc = get_or_create_dictionary_service(name, **service_kwargs)
+        ray.get(svc.version.remote())
+        return ds.map_batches(
+            TranslateFn,
+            fn_constructor_kwargs=dict(cfg=cfg, service_name=name,
+                                       matched_col=matched_col,
+                                       service_kwargs=service_kwargs),
+            concurrency=concurrency or 4,
+            **kwargs)
+    snap_ref = ray.put(DictSnapshot(cfg.dictionary))
+    fn = make_translate_batch_fn(cfg, snap_ref, matched_col)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(fn, **kwargs)
