@@ -82,9 +82,27 @@ def load_yaml_items(path: str, code_point_limit: int = YAML_CODE_POINT_LIMIT_DEF
             f"The incoming YAML document exceeds the limit: {code_point_limit} code points.")
     if strategy == "streaming":
         return list(streaming_yaml_pairs(text))
-    import yaml
-    data = yaml.safe_load(text)
+    data = _yaml_one_shot_load(text)
     return _yaml_top_level_items(data, path)
+
+
+def _yaml_one_shot_load(text: str) -> Any:
+    """safe_load with the reference visitor's tag table: top-level
+    ``!!map`` AND ``!!omap`` (in either flow-mapping or sequence form) both
+    construct a plain dict (yaml_visitor.rb:13-16)."""
+    import yaml
+
+    class _DictLoader(yaml.SafeLoader):
+        pass
+
+    def _omap(loader, node):
+        if isinstance(node, yaml.MappingNode):
+            return loader.construct_mapping(node)
+        pairs = loader.construct_yaml_omap(node)
+        return next(pairs)
+
+    _DictLoader.add_constructor("tag:yaml.org,2002:omap", _omap)
+    return yaml.load(text, Loader=_DictLoader)
 
 
 def _yaml_top_level_items(data: Any, path: str) -> list[tuple[str, Any]]:

@@ -49,8 +49,15 @@ def event_get(event: dict, ref: str) -> Any:
 
 
 def event_include(event: dict, ref: str) -> bool:
-    """event.include?(ref) — presence check (a present-but-nil field counts
-    as present, matching LogStash::Event#include?)."""
+    """event.include?(ref) — presence check.
+
+    Engine convention (SURVEY §2.5 S1 note, hard part (b)): in the
+    fixed-schema columnar model "field absent" ⇔ null cell, so a
+    present-but-None value counts as ABSENT here too — keeping the row
+    oracle and the Arrow kernel bit-identical. (LogStash's Event#include?
+    counts a present-but-nil field as present; that distinction cannot be
+    represented in a fixed Arrow schema.)
+    """
     cur: Any = event
     parts = parse_field_ref(ref)
     for part in parts:
@@ -62,7 +69,7 @@ def event_include(event: dict, ref: str) -> bool:
             if not isinstance(cur, dict) or part not in cur:
                 return False
             cur = cur[part]
-    return True
+    return cur is not None
 
 
 def event_set(event: dict, ref: str, value: Any) -> None:

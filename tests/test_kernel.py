@@ -1,0 +1,275 @@
+"""Behavioral conformance corpus — every example of translate_spec.rb §2.5
+run against BOTH the vectorized Arrow kernel (translate_table) and the
+row-oriented oracle (translate_row), plus a differential property test."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                           translate_row, translate_table)
+
+
+def run_both(cfg, rows, dictionary=None):
+    """Run kernel + oracle on the same rows; assert they agree; return the
+    kernel's output rows (list of dicts, without the matched column)."""
+    snap = DictSnapshot(dictionary if dictionary is not None else cfg.dictionary)
+    # oracle
+    oracle_rows = []
+    oracle_matched = []
+    for r in rows:
+        ev = {k: (list(v) if isinstance(v, list) else v) for k, v in r.items()}
+        import copy
+        ev = copy.deepcopy(r)
+        m = translate_row(ev, cfg, snap)
+        oracle_rows.append(ev)
+        oracle_matched.append(m)
+    # kernel — build a table with unified columns
+    cols = []
+    for r in rows:
+        cols.extend(k for k in r if k not in cols)
+    tbl = pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+    out = translate_table(tbl, cfg, snap)
+    out_rows = out.to_pylist()
+    k_matched = [r.pop("translate_matched") for r in out_rows]
+    assert k_matched == oracle_matched, (k_matched, oracle_matched)
+    for kr, orr in zip(out_rows, oracle_rows):
+        for key, val in orr.items():
+            assert _norm(kr.get(key)) == _norm(val), (key, kr, orr)
+    return out_rows
+
+
+def _norm(v):
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+HTTP_DICT = {"200": "OK", "300": "Redirect", "400": "Client Error",
+             "500": "Server Error"}
+
+
+def test_exact_translation_int_coercion():
+    # translate_spec.rb:25-46 (S3)
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT, exact=True, regex=False)
+    out = run_both(cfg, [{"status": 200}])
+    assert out[0]["translation"] == "OK"
+
+
+def test_regex_keys_do_not_match_when_regex_false():
+    # translate_spec.rb:49-71 (S4)
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={"^2\\d\\d": "OK", "^3\\d\\d": "Redirect"},
+                          exact=True, regex=False)
+    out = run_both(cfg, [{"status": 200}])
+    assert out[0].get("translation") is None
+
+
+def test_multi_translation_union():
+    # translate_spec.rb:73-118 (S6)
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT, exact=False, regex=False)
+    out = run_both(cfg, [{"status": "200 & 500"}, {"status": "nothing here"}])
+    assert out[0]["translation"] == "OK & Server Error"
+    assert out[1].get("translation") is None
+
+
+def test_regex_translation():
+    # translate_spec.rb:120-165 (S5)
+    cfg = TranslateConfig(
+        source="status", target="translation", exact=True, regex=True,
+        dictionary={"^2[0-9][0-9]$": "OK", "^3[0-9][0-9]$": "Redirect",
+                    "^4[0-9][0-9]$": "Client Error",
+                    "^5[0-9][0-9]$": "Server Error"})
+    out = run_both(cfg, [{"status": "200"}, {"status": "666"}])
+    assert out[0]["translation"] == "OK"
+    assert out[1].get("translation") is None
+
+
+def test_regex_first_match_wins_insertion_order():
+    # memory.rb:26 detect — S5 ordering
+    cfg = TranslateConfig(source="s", target="t", exact=True, regex=True,
+                          dictionary={"a": "first", "ab": "second"})
+    out = run_both(cfg, [{"s": "ab"}])
+    assert out[0]["t"] == "first"
+
+
+def test_fallback_static():
+    # translate_spec.rb:167-189
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={}, fallback="no match")
+    out = run_both(cfg, [{"status": "200"}])
+    assert out[0]["translation"] == "no match"
+
+
+def test_fallback_sprintf():
+    # translate_spec.rb:191-207 (S7)
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={}, fallback="%{missing_translation}")
+    out = run_both(cfg, [{"status": "200",
+                          "missing_translation": "missing no match"}])
+    assert out[0]["translation"] == "missing no match"
+
+
+def test_fallback_not_applied_when_source_missing():
+    # S1 — missing source ⇒ no-op even with fallback
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={}, fallback="no match")
+    out = run_both(cfg, [{"other": "x", "status": None}])
+    assert out[0].get("translation") is None
+
+
+def test_skip_when_target_present_without_override():
+    # S2 — single_value_update.rb:29
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"status": "200", "translation": "keep me"}])
+    assert out[0]["translation"] == "keep me"
+
+
+def test_override_replaces_existing_target():
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT, override=True)
+    out = run_both(cfg, [{"status": "200", "translation": "old"}])
+    assert out[0]["translation"] == "OK"
+
+
+def test_in_place_override():
+    # translate_spec.rb:451-471
+    d = {"nine": "val-9-1|val-9-2"}
+    cfg = TranslateConfig(field="foo", destination="foo", override=True,
+                          dictionary=d, ecs_compatibility="disabled")
+    out = run_both(cfg, [{"foo": "nine"}])
+    assert out[0]["foo"] == "val-9-1|val-9-2"
+
+
+def test_typed_values_preserved():
+    # S11 — spec:236-239 (int result via yml dict)
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={"a": 1, "b": 2, "c": 3})
+    out = run_both(cfg, [{"status": "a"}])
+    assert out[0]["translation"] == 1
+
+
+def test_iterate_on_array_of_values():
+    # translate_spec.rb:404-412 (S8)
+    d = {"nine": "val-9-1|val-9-2", "eight": "val-8-1|val-8-2",
+         "seven": "val-7-1|val-7-2"}
+    cfg = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                          fallback="nooo", dictionary=d)
+    out = run_both(cfg, [{"foo": ["nine", "eight", "seven"]}])
+    assert out[0]["baz"] == ["val-9-1|val-9-2", "val-8-1|val-8-2",
+                            "val-7-1|val-7-2"]
+
+
+def test_iterate_on_array_of_values_int_coercion():
+    # translate_spec.rb:414-423
+    cfg = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                          fallback="nooo", dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"foo": [200, 300, 400]}])
+    assert out[0]["baz"] == ["OK", "Redirect", "Client Error"]
+
+
+def test_iterate_on_array_of_values_fallback_fills_misses():
+    # array_of_values_update.rb:32-44
+    cfg = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                          fallback="nope", dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"foo": ["200", "xxx"]}])
+    assert out[0]["baz"] == ["OK", "nope"]
+
+
+def test_iterate_on_array_of_values_no_fallback_nil_on_miss():
+    cfg = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                          dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"foo": ["200", "xxx"]}])
+    assert out[0]["baz"] == ["OK", None]
+
+
+def test_iterate_on_array_of_maps():
+    # translate_spec.rb:425-435 (S9)
+    d = {"two": "val-2-1|val-2-2", "one": "val-1-1|val-1-2",
+         "six": "val-6-1|val-6-2"}
+    cfg = TranslateConfig(iterate_on="foo", source="bar", target="baz",
+                          fallback="nooo", dictionary=d)
+    out = run_both(cfg, [{"foo": [{"bar": "two"}, {"bar": "one"},
+                                  {"bar": "six"}]}])
+    assert [e["baz"] for e in out[0]["foo"]] == \
+        ["val-2-1|val-2-2", "val-1-1|val-1-2", "val-6-1|val-6-2"]
+
+
+def test_iterate_on_array_of_maps_int_coercion():
+    # translate_spec.rb:437-448
+    cfg = TranslateConfig(iterate_on="foo", source="bar", target="baz",
+                          fallback="nooo", dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"foo": [{"bar": 200}, {"bar": 300}, {"bar": 400}]}])
+    assert [e["baz"] for e in out[0]["foo"]] == ["OK", "Redirect", "Client Error"]
+
+
+def test_iterate_on_array_of_maps_fallback_per_element():
+    cfg = TranslateConfig(iterate_on="foo", source="bar", target="baz",
+                          fallback="nooo", dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"foo": [{"bar": "200"}, {"bar": "zzz"}]}])
+    assert [e["baz"] for e in out[0]["foo"]] == ["OK", "nooo"]
+
+
+def test_empty_dictionary_fallback():
+    # S14 — translate_spec.rb:628-682
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={}, fallback="no match")
+    out = run_both(cfg, [{"status": "a"}])
+    assert out[0]["translation"] == "no match"
+
+
+def test_union_empty_dictionary_never_matches():
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary={}, exact=False)
+    out = run_both(cfg, [{"status": "200"}])
+    assert out[0].get("translation") is None
+
+
+def test_array_source_uses_first_element():
+    # single_value_update.rb:9 CoerceArray
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"status": ["200", "500"]}])
+    assert out[0]["translation"] == "OK"
+
+
+def test_matched_column_semantics():
+    # S15
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=HTTP_DICT, fallback="fb")
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({"status": ["200", "xxx", None]})
+    out = translate_table(tbl, cfg, snap).to_pylist()
+    assert [r["translate_matched"] for r in out] == [True, True, False]
+    cfg2 = TranslateConfig(source="status", target="translation",
+                           dictionary=HTTP_DICT)
+    out2 = translate_table(tbl, cfg2, snap).to_pylist()
+    assert [r["translate_matched"] for r in out2] == [True, False, False]
+
+
+def test_differential_random_strings():
+    """Differential fuzz: random rows, all three strategies, kernel == oracle."""
+    rng = np.random.RandomState(7)
+    vocab = ["200", "300", "abc", "", "200 & 500", "zzz 400", "a", None]
+    for strategy_kw in [dict(exact=True, regex=False),
+                        dict(exact=True, regex=True),
+                        dict(exact=False, regex=False)]:
+        d = {"200": "OK", "300": "Redirect", "a.c": "dotmatch"}
+        for fallback in [None, "fb %{other}"]:
+            cfg = TranslateConfig(source="s", target="t", dictionary=d,
+                                  fallback=fallback, **strategy_kw)
+            rows = [{"s": vocab[rng.randint(len(vocab))],
+                     "other": "o%d" % rng.randint(3)} for _ in range(40)]
+            run_both(cfg, rows)
+
+
+def test_duplicate_keys_last_value_first_position():
+    # Ruby Hash semantics via DictSnapshot
+    snap = DictSnapshot([("a", 1), ("b", 2), ("a", 3)])
+    assert snap.keys == ["a", "b"]
+    assert snap.map["a"] == 3
