@@ -1,0 +1,185 @@
+"""Pipeline-level tests: end-to-end DAG on deterministic transcripts,
+routed-row equality + per-sink counts vs a single-process Python oracle,
+the per-turn text-equality invariant, hot dictionary reload mid-pipeline
+(scheduling_spec.rb analogue), and checkpoint/resume."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logstash_filter_translate_ray import TranslateConfig, DictSnapshot, translate_row
+from logstash_filter_translate_ray.pipelines import (TranscriptPipelineConfig,
+                                                     build_enriched_dataset,
+                                                     run_pipeline,
+                                                     run_resumable)
+from logstash_filter_translate_ray.pipelines.transcripts import (
+    ROLE_ROUTES, STATUS_REGEX_DICT, TOOL_DICT, WORD_DICT, read_transcripts)
+from logstash_filter_translate_ray.sources import (make_transcripts,
+                                                   transcripts_parquet_path)
+from logstash_filter_translate_ray.stages.translate_stage import translate_dataset
+
+N_TURNS = 5_000
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(ray_session):
+    return transcripts_parquet_path(N_TURNS, seed=42,
+                                    cache_dir="/tmp/lftr_test_transcripts")
+
+
+def python_oracle(tbl: pa.Table) -> list[dict]:
+    """Single-process reference: parse + 3 enriches + route via the ROW
+    oracle (§2.5 semantics), matching build_enriched_dataset."""
+    import re
+    status_re = re.compile(r"\b([1-5][0-9]{2})\b")
+    word_re = re.compile(r"\b(merci|thanks|error|retry|ok)\b")
+    tool_re = re.compile(r"^\s*([a-z_]+)")
+
+    tool_cfg = TranslateConfig(source="tool_norm", target="tool_label",
+                               dictionary=TOOL_DICT, fallback="no tool",
+                               override=True)
+    status_cfg = TranslateConfig(source="status", target="status_class",
+                                 regex=True, dictionary=STATUS_REGEX_DICT,
+                                 fallback="unknown status %{status}",
+                                 override=True)
+    word_cfg = TranslateConfig(source="word", target="word_norm",
+                               dictionary=WORD_DICT, override=True)
+    route_cfg = TranslateConfig(source="role", target="route",
+                                dictionary=ROLE_ROUTES, fallback="other",
+                                override=True)
+    t_snap, s_snap = DictSnapshot(TOOL_DICT), DictSnapshot(STATUS_REGEX_DICT)
+    w_snap, r_snap = DictSnapshot(WORD_DICT), DictSnapshot(ROLE_ROUTES)
+
+    rows = []
+    for r in tbl.to_pylist():
+        m = status_re.search(r["text"] or "")
+        r["status"] = m.group(1) if m else None
+        m = word_re.search(r["text"] or "")
+        r["word"] = m.group(1) if m else None
+        m = tool_re.match(r["tool"] or "")
+        r["tool_norm"] = m.group(1) if m else None
+        r["tool_matched"] = translate_row(r, tool_cfg, t_snap)
+        r.setdefault("tool_label", None)
+        r["status_matched"] = translate_row(r, status_cfg, s_snap)
+        r.setdefault("status_class", None)
+        r["word_matched"] = translate_row(r, word_cfg, w_snap)
+        r.setdefault("word_norm", None)
+        translate_row(r, route_cfg, r_snap)
+        rows.append(r)
+    return rows
+
+
+def test_routed_rows_equal_oracle(ray_session, transcripts_path):
+    ds = build_enriched_dataset(read_transcripts(transcripts_path))
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    tbl = pq.read_table(transcripts_path)
+    want = python_oracle(tbl)
+    want.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+
+    assert len(got) == len(want) == N_TURNS
+    for col in ["conv_id", "turn_idx", "role", "text", "tool", "status",
+                "word", "tool_label", "status_class", "word_norm", "route",
+                "tool_matched", "status_matched", "word_matched"]:
+        got_vals = got[col].tolist()
+        want_vals = [w[col] for w in want]
+        got_vals = [None if (isinstance(v, float) and v != v) else v
+                    for v in got_vals]
+        assert got_vals == want_vals, f"column {col} differs"
+
+
+def test_text_equality_invariant(ray_session, transcripts_path):
+    # input_hint per-row invariant: per-turn text equality under stable
+    # (conv_id, turn_idx) ordering
+    ds = build_enriched_dataset(read_transcripts(transcripts_path))
+    out = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+    src = pq.read_table(transcripts_path).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"])
+    assert out["text"].tolist() == src["text"].tolist()
+    assert out["ts"].tolist() == src["ts"].tolist()
+
+
+def test_sink_counts_match_oracle(ray_session, transcripts_path):
+    res = run_pipeline(transcripts_path)
+    tbl = pq.read_table(transcripts_path)
+    want_rows = python_oracle(tbl)
+    from collections import Counter
+    want = Counter((r["route"], r["tool_label"] or "(null)") for r in want_rows)
+    got = {(r.route, r.tool_label): int(r.n)
+           for r in res["sink_counts"].itertuples()}
+    assert got == dict(want)
+    want_m = Counter(r["status_matched"] for r in want_rows)
+    got_m = {bool(r.status_matched): int(r.n)
+             for r in res["status_matched_counts"].itertuples()}
+    assert got_m == dict(want_m)
+
+
+def test_fanout_write_and_partitions(ray_session, transcripts_path, tmp_path):
+    out = str(tmp_path / "routed")
+    res = run_pipeline(transcripts_path, out_dir=out)
+    parts = sorted(p for p in os.listdir(out) if p.startswith("route="))
+    assert parts == ["route=assistant_turns", "route=control",
+                     "route=tool_calls", "route=user_turns"]
+    total = sum(int(n) for n in res["sink_counts"]["n"])
+    assert total == N_TURNS
+
+
+def test_actor_pool_file_dict_hot_reload(ray_session, tmp_path):
+    """scheduling_spec.rb:45-106 analogue: modify the CSV on disk, force the
+    DictionaryService refresh, assert new translations flow."""
+    import ray
+    import ray.data as rd
+    from logstash_filter_translate_ray.state import get_or_create_dictionary_service
+
+    dict_path = str(tmp_path / "tool.csv")
+    with open(dict_path, "w") as f:
+        f.write("search,Old Search\ncode,Old Code\n")
+
+    cfg = TranslateConfig(source="tool", target="tool_label",
+                          dictionary_path=dict_path, refresh_interval=1,
+                          fallback="none", override=True)
+    ds = rd.from_arrow(pa.table({"tool": ["search", "code", "zzz"]}))
+    out1 = translate_dataset(ds, cfg, service_name="test-hot-reload",
+                             concurrency=1).to_pandas()
+    assert out1["tool_label"].tolist() == ["Old Search", "Old Code", "none"]
+
+    with open(dict_path, "w") as f:
+        f.write("search,New Search\ncode,New Code\n")
+    os.utime(dict_path, (os.path.getmtime(dict_path) + 10,) * 2)
+    svc = get_or_create_dictionary_service("test-hot-reload")
+    ray.get(svc.refresh.remote(force=True))
+
+    out2 = translate_dataset(ds, cfg, service_name="test-hot-reload",
+                             concurrency=1).to_pandas()
+    assert out2["tool_label"].tolist() == ["New Search", "New Code", "none"]
+
+
+def test_resumable_checkpoint(ray_session, transcripts_path, tmp_path):
+    out = str(tmp_path / "ckpt")
+    r1 = run_resumable(transcripts_path, out, shard_files=1)
+    assert r1["shards_skipped"] == 0 and r1["rows_out"] == N_TURNS
+    r2 = run_resumable(transcripts_path, out, shard_files=1)
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == r1["shards_run"]
+    assert r2["rows_out"] == N_TURNS
+    assert r2["route_counts"] == r1["route_counts"]
+
+
+def test_resume_after_partial_failure(ray_session, transcripts_path, tmp_path):
+    """Kill-mid-run simulation: complete shard 0 only, then resume; totals
+    equal a clean full run (idempotent, no double counting)."""
+    out = str(tmp_path / "ckpt2")
+    full = run_resumable(transcripts_path, str(tmp_path / "full"), shard_files=1)
+    r1 = run_resumable(transcripts_path, out, shard_files=1)
+    # wipe one shard's manifest + output → simulates unfinished shard
+    store_dir = os.path.join(out, "_manifests")
+    manifests = sorted(os.listdir(store_dir))
+    os.unlink(os.path.join(store_dir, manifests[0]))
+    shard_dir = os.path.join(out, "shard=" + manifests[0].split(".")[0])
+    shutil.rmtree(shard_dir)
+    r2 = run_resumable(transcripts_path, out, shard_files=1)
+    assert r2["shards_run"] == 1
+    assert r2["route_counts"] == full["route_counts"]
+    assert r2["rows_out"] == N_TURNS
