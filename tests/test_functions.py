@@ -1,0 +1,148 @@
+"""Training-data ops: dedup / similarity / text analysis / multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_translate_ray.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture()
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_removes_duplicates(ray_session):
+    import ray.data as rd
+    tbl = pa.table({"doc_id": [3, 1, 2, 4],
+                    "text": ["same", "same", "other", "third"]})
+    out = dedup.exact_dedup(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]   # min-id kept
+
+
+def test_exact_dedup_no_dupes_is_identity(docs_ds):
+    n = docs_ds.count()
+    assert dedup.exact_dedup(docs_ds).count() == n
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about ray data pipelines at scale"
+    tbl = pa.table({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    ds = rd.from_arrow(tbl)
+    deduped, dropped = dedup.minhash_dedup(ds, threshold=0.5, concurrency=1)
+    assert dropped == [2]
+    assert sorted(deduped.to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_simhash_near_texts_close(ray_session):
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup.simhash64("the quick brown fox jumps over the sleepy dog")
+    c = dedup.simhash64("entirely unrelated words about databases and planes")
+    assert dedup.hamming64(a, b) < dedup.hamming64(a, c)
+
+
+def test_simhash_dataset_column(docs_ds):
+    out = dedup.simhash_dataset(docs_ds.limit(50)).to_pandas()
+    assert out["simhash"].nunique() > 1
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    tbl = pa.table({"doc_id": [1, 2, 3],
+                    "text": [base, near, "unrelated text entirely here now"]})
+    pairs = dedup.ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=0.4,
+                                      concurrency=1)
+    assert {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])} == {(1, 2)}
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    tbl = emb_ds.to_pandas()
+    m = np.stack(tbl["embedding"].to_numpy())
+    q = m[0]
+    got = similarity.brute_force_topk(emb_ds, q, k=5)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    want_ids = tbl["vec_id"].to_numpy()[np.argsort(-(mn @ qn))[:5]]
+    assert got["vec_id"].tolist() == want_ids.tolist()
+    assert got["score"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_topk_contains_self(emb_ds):
+    tbl = emb_ds.to_pandas()
+    q = np.stack(tbl["embedding"].to_numpy())[0]
+    got = similarity.lsh_topk(emb_ds, q, k=5, n_planes=6, concurrency=1)
+    assert int(tbl["vec_id"].iloc[0]) in got["vec_id"].tolist()
+
+
+def test_token_count(docs_ds):
+    out = text.token_count_dataset(docs_ds.limit(20)).to_pandas()
+    row = out.iloc[0]
+    assert row["n_tokens_ws"] == len(row["text"].split())
+    assert row["n_tokens_bpe"] >= row["n_tokens_ws"]
+
+
+def test_quality_scores_bounded(docs_ds):
+    out = text.quality_dataset(docs_ds.limit(50)).to_pandas()
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert ((out["punct_ratio"] >= 0) & (out["stop_ratio"] >= 0)).all()
+
+
+def test_langid_heuristic(ray_session):
+    import ray.data as rd
+    tbl = pa.table({"text": [
+        "the cat and the dog sat with you",
+        "der Hund und die Katze ist nicht da",
+        "le chat est avec la souris je pense",
+        "el perro y los gatos no es una cosa",
+        "你好世界这是中文",
+        "zzz qqq",
+    ]})
+    out = text.langid_dataset(rd.from_arrow(tbl)).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_deterministic(docs_ds):
+    a = text.fingerprint_dataset(docs_ds.limit(10)).to_pandas()
+    b = text.fingerprint_dataset(docs_ds.limit(10)).to_pandas()
+    assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+    assert a["fingerprint"].nunique() == 10
+
+
+def test_multimodal_decode_stage(ray_session):
+    import ray.data as rd
+    media = multimodal.make_fake_media(100)
+    ds = rd.from_arrow(media)
+    out = multimodal.decode_features_dataset(ds, concurrency=1).to_pandas()
+    assert len(out) == 100
+    assert (out["payload_bytes"] == 4096).all()
+    assert out["features"].map(len).eq(8).all()
+    # deterministic across runs
+    out2 = multimodal.decode_features_dataset(rd.from_arrow(media),
+                                              concurrency=1).to_pandas()
+    assert out["payload_crc"].tolist() == out2["payload_crc"].tolist()
+
+
+def test_multimodal_resize_stage(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(multimodal.make_fake_media(20))
+    out = multimodal.resize_dataset(ds, max_side=128, concurrency=1).to_pandas()
+    assert (out[["resized_width", "resized_height"]].max(axis=1) <= 128).all()
+
+
+def test_multimodal_real_codecs_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeFeatureStage(use_real_codecs=True)
