@@ -1,44 +1,370 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse → enrich → route DAG on deterministic
+synthetic transcripts (BASELINE.json input_hint schema). ``queries()`` maps
+every implemented operator from SURVEY.md §2 onto the sf parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL where the op is
+SQL-expressible (same column names both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# --- shared dictionaries (keys/routes chosen against the sf tables) --------
+
+EVENT_LABELS = {"click": "Click", "error": "Error", "purchase": "Purchase"}
+EVENT_REGEX = {"^si": "starts-si", "rr": "double-r", "e": "has-e"}
+UNION_DICT = {"order": "ORDER", "data": "DATA", "slow": "SLOW"}
+TOKEN_DICT = {"the": "DET", "fast": "ADJ", "slow": "ADJ", "data": "NOUN"}
+EVENT_ROUTES = {"click": "engagement", "view": "engagement",
+                "purchase": "revenue", "signup": "revenue"}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _transcripts_dir(sf_dir: str) -> str:
+    from logstash_filter_translate_ray.sources import transcripts_parquet_path
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        n = max(2_000, int(float(sf) * 2_000_000))
+    except ValueError:
+        n = 20_000
+    return transcripts_parquet_path(n, seed=42)
+
+
+# --------------------------------------------------------------------------
+# entry — flagship DAG smoke
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship transcripts DAG (parse → enrich ×3 → route) at tiny scale,
+    plus a translate over the sf0.001 events table to touch the sf data."""
+    from logstash_filter_translate_ray.pipelines import build_enriched_dataset
+    from logstash_filter_translate_ray.pipelines.transcripts import read_transcripts
+    path = _transcripts_dir("/root/testdata/sf0.001")
+    return build_enriched_dataset(read_transcripts(path))
+
+
+# --------------------------------------------------------------------------
+# queries — one per operator/pipeline (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def q_translate_exact(sf_dir: str):
+    """O3/O6: exact dictionary lookup with fallback (single-value shape)."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    cfg = TranslateConfig(source="event_type", target="label",
+                          dictionary=dict(EVENT_LABELS), fallback="unknown",
+                          override=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return translate_dataset(ds, cfg, matched_col=None) \
+        .select_columns(["event_id", "event_type", "label"])
+
+
+def q_translate_exact_nofallback(sf_dir: str):
+    """O3/O6: exact lookup, miss ⇒ null target (no fallback)."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    cfg = TranslateConfig(source="event_type", target="label",
+                          dictionary=dict(EVENT_LABELS), override=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return translate_dataset(ds, cfg, matched_col=None) \
+        .select_columns(["event_id", "event_type", "label"])
+
+
+def q_translate_regex(sf_dir: str):
+    """O7: regex-key lookup, unanchored search, insertion-order first match."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    cfg = TranslateConfig(source="event_type", target="label", regex=True,
+                          dictionary=dict(EVENT_REGEX), fallback="none",
+                          override=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return translate_dataset(ds, cfg, matched_col=None) \
+        .select_columns(["event_id", "event_type", "label"])
+
+
+def q_translate_union(sf_dir: str):
+    """O8: exact=false gsub-substitution of every key occurrence."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    cfg = TranslateConfig(source="text", target="translated", exact=False,
+                          dictionary=dict(UNION_DICT))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return translate_dataset(ds, cfg, matched_col=None) \
+        .select_columns(["doc_id", "translated"])
+
+
+def q_translate_iterate_values(sf_dir: str):
+    """O4: iterate_on == source over a list column (tokens), '|'-joined for
+    a hash-stable comparison."""
+    import pyarrow.compute as pc
+    from logstash_filter_translate_ray import TranslateConfig, DictSnapshot, translate_table
+    cfg = TranslateConfig(source="tokens", iterate_on="tokens",
+                          target="tags", dictionary=dict(TOKEN_DICT),
+                          fallback="?")
+    snap = DictSnapshot(cfg.dictionary)
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        t = t.append_column("tokens", toks)
+        out = translate_table(t, cfg, snap, matched_col=None)
+        tags = out["tags"]
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        joined = pc.binary_join(tags, "|")
+        return pa.table({"doc_id": out["doc_id"], "tags_joined": joined})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_route_counts(sf_dir: str):
+    """Route + per-sink aggregate counts (north_rule core)."""
+    from logstash_filter_translate_ray.stages import route_dataset, sink_counts
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = route_dataset(ds, EVENT_ROUTES, key="event_type",
+                       default_route="ops")
+    return sink_counts(ds)
+
+
+def q_matched_counts(sf_dir: str):
+    """S15 matched/unmatched counters."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset, matched_counts
+    cfg = TranslateConfig(source="event_type", target="label",
+                          dictionary=dict(EVENT_LABELS), override=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = translate_dataset(ds, cfg, matched_col="translate_matched")
+    return matched_counts(ds)
+
+
+def q_parse_extract(sf_dir: str):
+    """Parse stage: vectorized regex extraction (RE2) from a string column."""
+    from logstash_filter_translate_ray.stages.parse import (ExtractRule,
+                                                            ParseConfig,
+                                                            parse_dataset)
+    cfg = ParseConfig(rules=(
+        ExtractRule(out="k_value", source="props", pattern=r"(\d+)",
+                    cast="int64"),))
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return parse_dataset(ds, cfg).select_columns(["event_id", "k_value"])
+
+
+def q_agg_value_by_type(sf_dir: str):
+    """Combiner-style grouped SUM (pre-aggregated in map_batches, exact via
+    integer cents)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t2 = pa.table({"event_type": t["event_type"], "cents": cents})
+        return t2.group_by(["event_type"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["event_type", "sum_cents"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("sum_cents", alias_name="sum_cents"))
+
+
+def q_sort_limit(sf_dir: str):
+    """Sort + limit (top-10 events by value)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return ds.sort("value", descending=True).limit(10)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash groupby, keep min doc_id."""
+    from logstash_filter_translate_ray.functions.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def q_token_count(sf_dir: str):
+    from logstash_filter_translate_ray.functions.text import token_count_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_count_dataset(ds).select_columns(
+        ["doc_id", "n_tokens_ws", "n_tokens_bpe"])
+
+
+def q_text_stats(sf_dir: str):
+    """Quality-feature counts (integers for hash-stable comparison)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_punct = pc.cast(pc.count_substring_regex(t["text"],
+                                                   pattern=r"[^\w\s]"),
+                          pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(
+            t["text"], pattern=r"(?i)\b(the|and|of|a|to|in|is|it|that|for)\b"),
+            pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_punct": n_punct,
+                         "n_stop": n_stop})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 math)."""
+    from logstash_filter_translate_ray.functions.similarity import brute_force_topk
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qv, k=10)
+    return out[["vec_id"]]
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language-ID (rows-only check: not SQL-expressible)."""
+    from logstash_filter_translate_ray.functions.text import langid_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return langid_dataset(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint (rows-only: crc32 not in DuckDB)."""
+    from logstash_filter_translate_ray.functions.text import fingerprint_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_dataset(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_simhash(sf_dir: str):
+    from logstash_filter_translate_ray.functions.dedup import simhash_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dataset(ds).select_columns(["doc_id", "simhash"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidate generation + Jaccard ≥0.5 verify (rows-only)."""
+    from logstash_filter_translate_ray.functions.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5, concurrency=2)
+    return out[["id_a", "id_b"]]
+
+
+def q_transcripts_pipeline(sf_dir: str):
+    """Flagship DAG per-sink counts on deterministic synthetic transcripts
+    (rows-only: the transcript table is not a registered DuckDB view)."""
+    from logstash_filter_translate_ray.pipelines import run_pipeline
+    res = run_pipeline(_transcripts_dir(sf_dir))
+    return res["sink_counts"]
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal decode plumbing on deterministic fake media (rows-only)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.multimodal import (
+        decode_features_dataset, make_fake_media)
+    ds = rd.from_arrow(make_fake_media(500))
+    return decode_features_dataset(ds, concurrency=2).select_columns(
+        ["media_id", "payload_bytes", "payload_crc"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "translate_exact": q_translate_exact,
+        "translate_exact_nofallback": q_translate_exact_nofallback,
+        "translate_regex": q_translate_regex,
+        "translate_union": q_translate_union,
+        "translate_iterate_values": q_translate_iterate_values,
+        "route_counts": q_route_counts,
+        "matched_counts": q_matched_counts,
+        "parse_extract": q_parse_extract,
+        "agg_value_by_type": q_agg_value_by_type,
+        "sort_limit": q_sort_limit,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_stats": q_text_stats,
+        "ann_topk": q_ann_topk,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "transcripts_pipeline": q_transcripts_pipeline,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB, same column names)
+# --------------------------------------------------------------------------
+
+def _case_exact(col: str, d: dict[str, str], fallback: "str | None") -> str:
+    whens = " ".join(f"WHEN {col} = '{k}' THEN '{v}'" for k, v in d.items())
+    els = f"ELSE '{fallback}'" if fallback is not None else "ELSE NULL"
+    return f"CASE {whens} {els} END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    exact_case = _case_exact("event_type", EVENT_LABELS, "unknown")
+    exact_case_nf = _case_exact("event_type", EVENT_LABELS, None)
+    regex_case = (
+        "CASE WHEN regexp_matches(event_type, '^si') THEN 'starts-si' "
+        "WHEN regexp_matches(event_type, 'rr') THEN 'double-r' "
+        "WHEN regexp_matches(event_type, 'e') THEN 'has-e' "
+        "ELSE 'none' END")
+    union_expr = "replace(replace(replace(text, 'order', 'ORDER'), 'data', 'DATA'), 'slow', 'SLOW')"
+    token_case = ("CASE WHEN x = 'the' THEN 'DET' WHEN x = 'fast' THEN 'ADJ' "
+                  "WHEN x = 'slow' THEN 'ADJ' WHEN x = 'data' THEN 'NOUN' "
+                  "ELSE '?' END")
+    route_case = _case_exact("event_type", EVENT_ROUTES, "ops")
+    return {
+        "translate_exact":
+            f"SELECT event_id, event_type, {exact_case} AS label FROM events",
+        "translate_exact_nofallback":
+            f"SELECT event_id, event_type, {exact_case_nf} AS label FROM events",
+        "translate_regex":
+            f"SELECT event_id, event_type, {regex_case} AS label FROM events",
+        "translate_union":
+            f"SELECT doc_id, CASE WHEN {union_expr} <> text THEN {union_expr} "
+            "ELSE NULL END AS translated FROM documents",
+        "translate_iterate_values":
+            "SELECT doc_id, array_to_string(list_transform(string_split(text, ' '), "
+            f"x -> {token_case}), '|') AS tags_joined FROM documents",
+        "route_counts":
+            f"SELECT {route_case} AS route, COUNT(*) AS n FROM events GROUP BY 1",
+        "matched_counts":
+            "SELECT event_type IN ('click','error','purchase') AS translate_matched, "
+            "COUNT(*) AS n FROM events GROUP BY 1",
+        "parse_extract":
+            "SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) "
+            "AS k_value FROM events",
+        "agg_value_by_type":
+            "SELECT event_type, SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM events GROUP BY event_type",
+        "sort_limit":
+            "SELECT event_id, value FROM events ORDER BY value DESC LIMIT 10",
+        "dedup_exact":
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_count":
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS n_tokens_bpe FROM documents",
+        "text_stats":
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(lower(text), "
+            "'\\b(the|and|of|a|to|in|is|it|that|for)\\b')) AS BIGINT) AS n_stop "
+            "FROM documents",
+        "ann_topk":
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id "
+            "LIMIT 10",
+    }

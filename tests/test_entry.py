@@ -1,0 +1,67 @@
+"""Driver-contract test: every queries() entry runs at sf0.001 and, where an
+oracle_sql() entry exists, matches DuckDB on row count, column names and
+order-insensitive values (mimicking the driver's CORRECTNESS gate)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif df[c].dtype == bool or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def test_entry_smoke(ray_session):
+    res = entry_mod.entry()
+    df = to_pandas(res)
+    assert len(df) >= 0
+    assert "route" in df.columns and "text" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs(ray_session, sf_dir, con, name):
+    fn = entry_mod.queries()[name]
+    got = to_pandas(fn(sf_dir))
+    assert len(got) >= 0
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        return
+    want = con.execute(sql).df()
+    g, w = canon(got), canon(want)
+    assert list(g.columns) == list(w.columns), (g.columns, w.columns)
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_like=True)
