@@ -346,6 +346,14 @@ def lookup_regex_union(src: pa.Array, snap: DictSnapshot,
         return matched, pa.nulls(n, pa.string()), None
     valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
     todo = valid if candidates is None else (valid & candidates)
+    # vectorized pre-filter: keys are literal-escaped, so the alternation is
+    # RE2-safe — rows with no occurrence at all skip the Python sub loop
+    try:
+        has_any = pc.match_substring_regex(
+            src, pattern=pat.pattern).to_numpy(zero_copy_only=False)
+        todo = todo & np.where(valid, has_any, False).astype(bool)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
     src_np = src.to_numpy(zero_copy_only=False)
     out = np.full(n, None, dtype=object)
     m = snap.map

@@ -43,8 +43,24 @@ WORD_DICT = {"merci": "thanks", "thanks": "thanks", "ok": "ack",
              "error": "failure", "retry": "failure"}
 ROLE_ROUTES = {"user": "user_turns", "assistant": "assistant_turns",
                "system": "control", "tool": "tool_calls"}
+# union-substitution redaction dictionary (O8 at scale): every occurrence of
+# any key in `text` replaced, result written to text_redacted (text itself is
+# never rewritten — input_hint invariant)
+REDACT_DICT = {"merci": "[MERCI]", "error": "[ERR]", "retry": "[RETRY]",
+               "200": "[OK]", "301": "[REDIRECT]", "404": "[NOTFOUND]",
+               "500": "[SRVERR]", "503": "[UNAVAIL]"}
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+CONV_SEGMENTS = ("free", "pro", "team", "enterprise", "edu", "gov", "trial")
+
+
+def make_conv_segment_dict(n_convs: int = 100_000) -> dict[str, str]:
+    """Deterministic 100k-entry conv_id → segment dictionary — the
+    reference's tested dictionary scale (docs/index.asciidoc:75-77,
+    'internally tested with 100,000 key/values')."""
+    return {f"conv-{i:08d}": CONV_SEGMENTS[i % len(CONV_SEGMENTS)]
+            for i in range(n_convs)}
 
 
 @dataclass
@@ -61,6 +77,11 @@ class TranscriptPipelineConfig:
     refresh_interval: float = 300
     batch_size: Optional[int] = None           # None → Ray Data default sizing
     parse: ParseConfig = field(default_factory=ParseConfig.transcripts)
+    # heavy enrich stages (on by default; the bench + oracle cover them):
+    # 100k-key conv_id → segment broadcast lookup, and union-substitution
+    # redaction of text → text_redacted
+    redact_dict: dict[str, str] = field(default_factory=lambda: dict(REDACT_DICT))
+    conv_dict_size: int = 100_000
 
 
 def build_enriched_dataset(ds: "rd.Dataset",
@@ -94,6 +115,25 @@ def build_enriched_dataset(ds: "rd.Dataset",
                                dictionary=dict(cfg.word_dict), override=True)
     ds = translate_dataset(ds, word_cfg, matched_col="word_matched",
                            batch_size=cfg.batch_size)
+
+    # enrich 4: conv_id → account segment, 100k-key exact dict broadcast via
+    # ray.put once (the reference's tested dictionary scale)
+    if cfg.conv_dict_size > 0:
+        seg_cfg = TranslateConfig(
+            source="conv_id", target="conv_segment",
+            dictionary=make_conv_segment_dict(cfg.conv_dict_size),
+            fallback="anon", override=True)
+        ds = translate_dataset(ds, seg_cfg, matched_col=None,
+                               batch_size=cfg.batch_size)
+
+    # enrich 5: union-substitution redaction (exact=false gsub, O8) —
+    # writes text_redacted, never mutates text
+    if cfg.redact_dict:
+        redact_cfg = TranslateConfig(source="text", target="text_redacted",
+                                     exact=False,
+                                     dictionary=dict(cfg.redact_dict))
+        ds = translate_dataset(ds, redact_cfg, matched_col=None,
+                               batch_size=cfg.batch_size)
 
     # route by role (dictionary-driven, single pass)
     ds = route_dataset(ds, cfg.routes, key="role",

@@ -16,7 +16,8 @@ from logstash_filter_translate_ray.pipelines import (TranscriptPipelineConfig,
                                                      run_pipeline,
                                                      run_resumable)
 from logstash_filter_translate_ray.pipelines.transcripts import (
-    ROLE_ROUTES, STATUS_REGEX_DICT, TOOL_DICT, WORD_DICT, read_transcripts)
+    REDACT_DICT, ROLE_ROUTES, STATUS_REGEX_DICT, TOOL_DICT, WORD_DICT,
+    make_conv_segment_dict, read_transcripts)
 from logstash_filter_translate_ray.sources import (make_transcripts,
                                                    transcripts_parquet_path)
 from logstash_filter_translate_ray.stages.translate_stage import translate_dataset
@@ -47,11 +48,18 @@ def python_oracle(tbl: pa.Table) -> list[dict]:
                                  override=True)
     word_cfg = TranslateConfig(source="word", target="word_norm",
                                dictionary=WORD_DICT, override=True)
+    seg_dict = make_conv_segment_dict()
+    seg_cfg = TranslateConfig(source="conv_id", target="conv_segment",
+                              dictionary=seg_dict, fallback="anon",
+                              override=True)
+    redact_cfg = TranslateConfig(source="text", target="text_redacted",
+                                 exact=False, dictionary=REDACT_DICT)
     route_cfg = TranslateConfig(source="role", target="route",
                                 dictionary=ROLE_ROUTES, fallback="other",
                                 override=True)
     t_snap, s_snap = DictSnapshot(TOOL_DICT), DictSnapshot(STATUS_REGEX_DICT)
     w_snap, r_snap = DictSnapshot(WORD_DICT), DictSnapshot(ROLE_ROUTES)
+    g_snap, d_snap = DictSnapshot(seg_dict), DictSnapshot(REDACT_DICT)
 
     rows = []
     for r in tbl.to_pylist():
@@ -67,6 +75,9 @@ def python_oracle(tbl: pa.Table) -> list[dict]:
         r.setdefault("status_class", None)
         r["word_matched"] = translate_row(r, word_cfg, w_snap)
         r.setdefault("word_norm", None)
+        translate_row(r, seg_cfg, g_snap)
+        translate_row(r, redact_cfg, d_snap)
+        r.setdefault("text_redacted", None)
         translate_row(r, route_cfg, r_snap)
         rows.append(r)
     return rows
@@ -82,7 +93,8 @@ def test_routed_rows_equal_oracle(ray_session, transcripts_path):
 
     assert len(got) == len(want) == N_TURNS
     for col in ["conv_id", "turn_idx", "role", "text", "tool", "status",
-                "word", "tool_label", "status_class", "word_norm", "route",
+                "word", "tool_label", "status_class", "word_norm",
+                "conv_segment", "text_redacted", "route",
                 "tool_matched", "status_matched", "word_matched"]:
         got_vals = got[col].tolist()
         want_vals = [w[col] for w in want]
