@@ -42,7 +42,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     first). The groupby shuffles only (hash, id) pairs logically; Ray Data
     hash-partitions the blocks by the groupby key."""
     hashed = ds.map_batches(lambda t: add_content_hash(t, col),
-                            batch_format="pyarrow")
+                            batch_format="pyarrow", batch_size=None)
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
@@ -129,7 +129,7 @@ def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
         MinHashStage,
         fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k,
                                    num_perm=num_perm, bands=bands),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].unique())
@@ -194,7 +194,7 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         mask = pa.array([i in idset for i in t[id_col].to_pylist()])
         return t.filter(mask)
 
-    cand = ds.map_batches(only_candidates, batch_format="pyarrow") \
+    cand = ds.map_batches(only_candidates, batch_format="pyarrow", batch_size=None) \
         .select_columns([id_col, col]).to_pandas()
     text_of = dict(zip(cand[id_col], cand[col]))
     verified = [(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])
@@ -208,7 +208,7 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         mask = pa.array([i not in d for i in t[id_col].to_pylist()])
         return t.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow"), drop
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None), drop
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +236,7 @@ def simhash_batch(tbl: pa.Table, col: str = "text",
 
 def simhash_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: simhash_batch(t, col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -271,7 +271,7 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     returns a pandas frame (id_a, id_b, jaccard ≥ threshold)."""
     exploded = ds.map_batches(
         ShingleExplode, fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].unique())

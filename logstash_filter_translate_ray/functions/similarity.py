@@ -61,7 +61,7 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
                          id_col: pa.array(vid),
                          "score": pa.array(sc, type=pa.float32())})
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None).to_pandas()
     out = partials.sort_values(["query_idx", "score"],
                                ascending=[True, False]) \
         .groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
@@ -102,7 +102,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
         LshIndexStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                    vec_col=vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     q_sig = int(stage.signature(_normalize(q))[0])
     probes = {q_sig}
     if probe_hamming1:
@@ -112,5 +112,5 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
     probe_arr = pa.array(sorted(probes), type=pa.int64())
     cand = bucketed.map_batches(
         lambda t: t.filter(pc.is_in(t["lsh_bucket"], value_set=probe_arr)),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     return brute_force_topk(cand, q, k, vec_col, id_col)

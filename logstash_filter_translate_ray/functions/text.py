@@ -36,7 +36,7 @@ def token_count_batch(tbl: pa.Table, col: str = "text") -> pa.Table:
 
 def token_count_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: token_count_batch(t, col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +82,7 @@ def quality_batch(tbl: pa.Table, col: str = "text") -> pa.Table:
 
 def quality_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: quality_batch(t, col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +116,7 @@ def langid_batch(tbl: pa.Table, col: str = "text",
 
 def langid_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: langid_batch(t, col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -144,4 +144,4 @@ def fingerprint_batch(tbl: pa.Table, col: str = "text",
 
 def fingerprint_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: fingerprint_batch(t, col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)

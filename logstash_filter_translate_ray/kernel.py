@@ -513,25 +513,32 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     matched, vals, idx = _lookup(cfg.strategy, src, snap, candidates=incl)
     matched = matched & incl
 
+    from .sprintf import is_static
+    fb_static = cfg.fallback is not None and is_static(cfg.fallback)
     fb_np: Optional[np.ndarray] = None
-    if cfg.fallback is not None:
+    if cfg.fallback is not None and not fb_static:
         fb_arr = sprintf_column(cfg.fallback, tbl)
         fb_np = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
 
     if vals is None:
+        if fb_static:
+            fb_np = np.full(n, cfg.fallback, dtype=object)
         new_vals = _materialize_values(matched, idx, snap, fb_np)
-        write_mask = incl if fb_np is not None else matched
-    elif fb_np is not None:
-        fb_pa = pa.array(fb_np.tolist(), type=pa.string())
+        write_mask = incl if cfg.fallback is not None else matched
+    elif cfg.fallback is not None:
         if not pa.types.is_string(vals.type) and not pa.types.is_null(vals.type):
             vals = _as_array(_cast_to_string(vals))
         if pa.types.is_null(vals.type):
             vals = pa.nulls(n, pa.string())
+        fb_pa = pa.scalar(cfg.fallback, type=pa.string()) if fb_static \
+            else pa.array(fb_np.tolist(), type=pa.string())
         new_vals = pc.if_else(pa.array(matched), vals, fb_pa)
         write_mask = incl
     else:
         new_vals = vals
         write_mask = matched
+    if isinstance(new_vals, pa.ChunkedArray):
+        new_vals = new_vals.combine_chunks()
 
     out = _merge_into_target(tbl, cfg.target, write_mask, new_vals)
     final_matched = (incl.copy() if cfg.in_place else write_mask.copy())

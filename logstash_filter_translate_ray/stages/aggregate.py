@@ -42,7 +42,7 @@ def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
                    count_name: str = "n") -> "ray.data.Dataset":
     """Two-phase (combiner + small shuffle) grouped row count."""
     partial = ds.map_batches(_partial_counts(keys, count_name),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow", batch_size=None)
     return partial.groupby(list(keys)).aggregate(
         Sum(count_name, alias_name=count_name))
 

@@ -95,7 +95,5 @@ def parse_dataset(ds: "ray.data.Dataset", cfg: Optional[ParseConfig] = None,
     def _fn(batch: pa.Table) -> pa.Table:
         return parse_batch(batch, plan)
 
-    kwargs = {"batch_format": "pyarrow"}
-    if batch_size is not None:
-        kwargs["batch_size"] = batch_size
-    return ds.map_batches(_fn, **kwargs)
+    # None ⇒ whole blocks (avoid Ray's 1024-row default micro-batching)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size)

@@ -31,7 +31,7 @@ def route_dataset(ds: "ray.data.Dataset", routes: dict[str, str], *,
         snap = ray.get(snap_ref) if isinstance(snap_ref, ray.ObjectRef) else snap_ref
         return translate_table(batch, cfg, snap, matched_col=None)
 
-    return ds.map_batches(_fn, batch_format="pyarrow")
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def write_routed(ds: "ray.data.Dataset", out_dir: str, *,

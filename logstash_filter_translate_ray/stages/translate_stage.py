@@ -86,9 +86,11 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
       ``service_name`` (default derived from the path) with the plugin's
       refresh semantics.
     """
-    kwargs: dict[str, Any] = {"batch_format": "pyarrow", "num_cpus": num_cpus}
-    if batch_size is not None:
-        kwargs["batch_size"] = batch_size
+    # batch_size=None ⇒ whole blocks per batch (Ray's 'default' is 1024-row
+    # micro-batches, which multiplies per-batch fixed costs — e.g. index_in's
+    # hash-table build over a 100k-key dictionary — by ~50×)
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow", "num_cpus": num_cpus,
+                              "batch_size": batch_size}
     if cfg.dictionary_path:
         name = service_name or f"lftr-dict:{cfg.dictionary_path}"
         service_kwargs = dict(
