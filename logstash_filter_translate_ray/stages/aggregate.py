@@ -3,22 +3,32 @@ salted per-conversation aggregate for skewed conv_id distributions.
 
 Scale design (SURVEY §4): a bare ``groupby(key).count()`` shuffles every
 row. All aggregates here PRE-AGGREGATE inside ``map_batches`` — each batch
-emits one row per key — so the shuffle moves ``O(distinct keys × blocks)``
-rows instead of ``O(N)``. For conv_id (Zipf-skewed hot conversations) the
-per-batch partials ARE the salt: a hot conversation appearing in B blocks
-contributes B partial rows regardless of its row count, so no single
-reducer sees more than B rows per key (the explicit
-salted-repartition of the north_rule, realized combiner-style).
+emits one row per key — so what moves after the map phase is
+``O(distinct keys × blocks)`` partial rows instead of ``O(N)`` events.
+
+Two merge paths for the partials, chosen by key cardinality:
+
+- **driver merge** (default for route/matched counters, ≤ ~10^5 keys):
+  the partial blocks are streamed to the driver and merged with one pandas
+  groupby. At 10^12 rows the partials are still only (#blocks × #keys)
+  rows — a per-sink counter never needs a cluster-wide shuffle, and
+  skipping Ray's all-to-all barrier keeps the whole pipeline streaming.
+- **distributed merge** (conv_id and other high-cardinality keys): the
+  partials go through ``groupby().aggregate(Sum)``. The per-batch partials
+  ARE the skew salt: a hot conversation appearing in B blocks contributes
+  B one-row partials regardless of its row count, so no reducer sees more
+  than B rows per key (the north_rule's salted repartitioning realized
+  combiner-style).
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data.aggregate import Sum
-
 
 NULL_LABEL = "(null)"   # null group keys → label (Ray's sort-shuffle groupby
                         # can't order null keys; oracle SQL uses COALESCE)
@@ -39,29 +49,41 @@ def _partial_counts(keys: Sequence[str], count_name: str):
 
 
 def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
-                   count_name: str = "n") -> "ray.data.Dataset":
-    """Two-phase (combiner + small shuffle) grouped row count."""
+                   count_name: str = "n",
+                   driver_merge: bool = True):
+    """Two-phase grouped row count (see module docstring for the merge-path
+    trade-off). Returns pandas (driver merge) or a Dataset (distributed)."""
     partial = ds.map_batches(_partial_counts(keys, count_name),
                              batch_format="pyarrow", batch_size=None)
+    if driver_merge:
+        frames = [b.to_pandas() for b in
+                  partial.iter_batches(batch_format="pyarrow")]
+        if not frames:
+            return pd.DataFrame(columns=[*keys, count_name])
+        merged = pd.concat(frames, ignore_index=True)
+        return merged.groupby(list(keys), as_index=False, sort=True)[count_name] \
+            .sum()
     return partial.groupby(list(keys)).aggregate(
         Sum(count_name, alias_name=count_name))
 
 
 def sink_counts(ds: "ray.data.Dataset", route_col: str = "route",
-                by: Optional[Sequence[str]] = None) -> "ray.data.Dataset":
+                by: Optional[Sequence[str]] = None) -> pd.DataFrame:
     """Per-sink aggregate counts (north_rule 'matching the reference's
-    per-sink aggregate counts')."""
+    per-sink aggregate counts'). Low cardinality ⇒ driver merge."""
     keys = [route_col] + list(by or [])
-    return grouped_counts(ds, keys)
+    return grouped_counts(ds, keys, driver_merge=True)
 
 
 def matched_counts(ds: "ray.data.Dataset",
-                   matched_col: str = "translate_matched") -> "ray.data.Dataset":
+                   matched_col: str = "translate_matched") -> pd.DataFrame:
     """matched/unmatched counters — the filter_matched bookkeeping (S15)."""
-    return grouped_counts(ds, [matched_col])
+    return grouped_counts(ds, [matched_col], driver_merge=True)
 
 
-def conv_turn_counts(ds: "ray.data.Dataset", conv_col: str = "conv_id") -> "ray.data.Dataset":
-    """Turns per conversation; skew-safe via per-batch partials (see module
-    docstring for why this is the salted two-phase aggregate)."""
-    return grouped_counts(ds, [conv_col], count_name="turns")
+def conv_turn_counts(ds: "ray.data.Dataset", conv_col: str = "conv_id",
+                     driver_merge: bool = False):
+    """Turns per conversation — high-cardinality key ⇒ distributed merge of
+    the per-batch partials (skew-safe, see module docstring)."""
+    return grouped_counts(ds, [conv_col], count_name="turns",
+                          driver_merge=driver_merge)
