@@ -29,8 +29,46 @@ from ..kernel import DictSnapshot, translate_table
 from ..state import get_or_create_dictionary_service
 
 
+ERROR_COL = "translate_error"
+
+
+def safe_translate_batch(batch: pa.Table, cfg: TranslateConfig,
+                         snap: "DictSnapshot",
+                         matched_col: Optional[str],
+                         error_isolation: bool = True) -> pa.Table:
+    """Vectorized kernel with the reference's S12 error isolation
+    (translate.rb:266-270: a per-event exception logs and the event passes
+    through untranslated). If the batch kernel raises, fall back to
+    row-at-a-time execution with per-row try/except; failed rows pass
+    through untouched and are marked in a ``translate_error`` column."""
+    if not error_isolation:
+        return translate_table(batch, cfg, snap, matched_col)
+    try:
+        out = translate_table(batch, cfg, snap, matched_col)
+        # stable schema across batches: error column present even when clean
+        return out.append_column(ERROR_COL, pa.nulls(len(out), pa.string()))
+    except Exception:
+        from ..kernel import translate_row
+        rows = batch.to_pylist()
+        matched_flags, errors = [], []
+        for r in rows:
+            try:
+                matched_flags.append(translate_row(r, cfg, snap))
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — mirrors the per-event rescue
+                matched_flags.append(False)
+                errors.append(str(e)[:200])
+        out = pa.Table.from_pylist(rows)
+        # keep original column order/schema where possible
+        if matched_col is not None:
+            out = out.append_column(matched_col, pa.array(matched_flags))
+        out = out.append_column(ERROR_COL, pa.array(errors, type=pa.string()))
+        return out
+
+
 def make_translate_batch_fn(cfg: TranslateConfig, snap_ref: "ray.ObjectRef | DictSnapshot",
-                            matched_col: Optional[str] = "translate_matched"):
+                            matched_col: Optional[str] = "translate_matched",
+                            error_isolation: bool = False):
     """Stateless map_batches fn over a broadcast snapshot.
 
     ``snap_ref`` may be a raw snapshot (tests) or an ``ObjectRef`` placed
@@ -41,7 +79,8 @@ def make_translate_batch_fn(cfg: TranslateConfig, snap_ref: "ray.ObjectRef | Dic
         snap = snap_ref
         if isinstance(snap, ray.ObjectRef):
             snap = ray.get(snap)
-        return translate_table(batch, cfg, snap, matched_col)
+        return safe_translate_batch(batch, cfg, snap, matched_col,
+                                    error_isolation)
     return _fn
 
 
@@ -55,10 +94,12 @@ class TranslateFn:
 
     def __init__(self, cfg: TranslateConfig, service_name: str,
                  matched_col: Optional[str] = "translate_matched",
-                 poll_every: int = 1, service_kwargs: Optional[dict[str, Any]] = None):
+                 poll_every: int = 1, service_kwargs: Optional[dict[str, Any]] = None,
+                 error_isolation: bool = False):
         self.cfg = cfg
         self.matched_col = matched_col
         self.poll_every = max(1, poll_every)
+        self.error_isolation = error_isolation
         self._svc = get_or_create_dictionary_service(
             service_name, **(service_kwargs or {}))
         self.snap: DictSnapshot = ray.get(self._svc.get_snapshot.remote())
@@ -70,7 +111,8 @@ class TranslateFn:
             newer = ray.get(self._svc.version_if_newer.remote(self.snap.version))
             if newer is not None:
                 self.snap = ray.get(self._svc.get_snapshot.remote())
-        return translate_table(batch, self.cfg, self.snap, self.matched_col)
+        return safe_translate_batch(batch, self.cfg, self.snap,
+                                    self.matched_col, self.error_isolation)
 
 
 def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
@@ -78,13 +120,20 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
                       service_name: Optional[str] = None,
                       concurrency: "int | tuple[int, int] | None" = None,
                       batch_size: Optional[int] = None,
-                      num_cpus: float = 1) -> "ray.data.Dataset":
+                      num_cpus: float = 1,
+                      error_isolation: bool = False) -> "ray.data.Dataset":
     """Attach the translate stage to a Dataset.
 
     - inline dictionary → stateless tasks over a broadcast snapshot;
     - ``cfg.dictionary_path`` set → actor pool + DictionaryService named
       ``service_name`` (default derived from the path) with the plugin's
       refresh semantics.
+    - ``error_isolation=True`` adds the reference's S12 per-row rescue
+      (translate.rb:266-270): a failing row passes through untranslated,
+      flagged in a ``translate_error`` column (always present for schema
+      stability). Off by default — the vectorized kernel surfaces errors at
+      task level where Ray's retries apply, and the extra column is pure
+      overhead on clean data.
     """
     # batch_size=None ⇒ whole blocks per batch (Ray's 'default' is 1024-row
     # micro-batches, which multiplies per-batch fixed costs — e.g. index_in's
@@ -108,7 +157,8 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
             TranslateFn,
             fn_constructor_kwargs=dict(cfg=cfg, service_name=name,
                                        matched_col=matched_col,
-                                       service_kwargs=service_kwargs),
+                                       service_kwargs=service_kwargs,
+                                       error_isolation=error_isolation),
             concurrency=concurrency or 4,
             **kwargs)
     snap_ref = ray.put(DictSnapshot(cfg.dictionary))
@@ -121,7 +171,8 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
     # source/target, and replace() re-runs the both-set validation)
     slim_cfg = dataclasses.replace(cfg, dictionary={}, field=None,
                                    destination=None)
-    fn = make_translate_batch_fn(slim_cfg, snap_ref, matched_col)
+    fn = make_translate_batch_fn(slim_cfg, snap_ref, matched_col,
+                                 error_isolation)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(fn, **kwargs)
