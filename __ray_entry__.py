@@ -259,6 +259,88 @@ def q_minhash_pairs(sf_dir: str):
     return out[["id_a", "id_b"]]
 
 
+def q_user_event_counts(sf_dir: str):
+    """High-cardinality grouped count through the DISTRIBUTED merge path
+    (combiner partials → groupby shuffle) — the conv_id-style aggregate."""
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    ds = _read(sf_dir, "events", ["user_id"])
+    return grouped_counts(ds, ["user_id"], driver_merge=False)
+
+
+def q_translate_file_dict(sf_dir: str):
+    """File-backed dictionary through the actor-pool stage (DictionaryService
+    + TranslateFn hot path), exact mode with fallback."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    path = "/tmp/lftr_event_dict.csv"
+    content = "".join(f"{k},{v}\n" for k, v in EVENT_LABELS.items())
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as f:
+            f.write(content)
+    cfg = TranslateConfig(source="event_type", target="label",
+                          dictionary_path=path, refresh_interval=-1,
+                          fallback="unknown", override=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return translate_dataset(ds, cfg, matched_col=None, concurrency=2) \
+        .select_columns(["event_id", "event_type", "label"])
+
+
+def q_translate_iterate_maps(sf_dir: str):
+    """O5: iterate_on ≠ source over list<struct> — translate the ``bar``
+    child of each element into a ``baz`` child; output '|'-joined."""
+    import pyarrow.compute as pc
+    from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                               translate_table)
+    cfg = TranslateConfig(iterate_on="items", source="bar", target="baz",
+                          dictionary=dict(EVENT_LABELS), fallback="?")
+    snap = DictSnapshot(cfg.dictionary)
+
+    def fn(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        second = pa.array(["error"] * len(t), type=pa.string())
+        structs0 = pa.StructArray.from_arrays([et], ["bar"])
+        structs1 = pa.StructArray.from_arrays([second], ["bar"])
+        # interleave into 2-element lists [{bar: event_type}, {bar: 'error'}]
+        import numpy as np
+        flat = pa.concat_arrays([structs0, structs1]).take(
+            pa.array(np.arange(2 * len(t)).reshape(2, len(t)).T.ravel()))
+        offsets = pa.array(np.arange(0, 2 * len(t) + 1, 2, dtype=np.int32))
+        items = pa.ListArray.from_arrays(offsets, flat)
+        t2 = pa.table({"event_id": t["event_id"], "items": items})
+        out = translate_table(t2, cfg, snap, matched_col=None)
+        col = out["items"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        baz = pc.struct_field(pc.list_flatten(col), "baz")
+        n = len(t)
+        baz_np = baz.to_pylist()
+        joined = [f"{baz_np[2 * i]}|{baz_np[2 * i + 1]}" for i in range(n)]
+        return pa.table({"event_id": out["event_id"],
+                         "baz_joined": pa.array(joined, type=pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def q_quality_scores(sf_dir: str):
+    """Composite quality scoring (rows-only: float heuristics)."""
+    from logstash_filter_translate_ray.functions.text import quality_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_dataset(ds).select_columns(["doc_id", "quality_score"])
+
+
+def q_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
+    from logstash_filter_translate_ray.functions.similarity import lsh_topk
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
+
+
 def q_transcripts_pipeline(sf_dir: str):
     """Flagship DAG per-sink counts on deterministic synthetic transcripts
     (rows-only: the transcript table is not a registered DuckDB view)."""
@@ -299,6 +381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "transcripts_pipeline": q_transcripts_pipeline,
         "multimodal_features": q_multimodal_features,
+        "user_event_counts": q_user_event_counts,
+        "translate_file_dict": q_translate_file_dict,
+        "translate_iterate_maps": q_translate_iterate_maps,
+        "quality_scores": q_quality_scores,
+        "lsh_topk": q_lsh_topk,
     }
 
 
@@ -367,4 +454,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id "
             "LIMIT 10",
+        "user_event_counts":
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+        "translate_file_dict":
+            f"SELECT event_id, event_type, {exact_case} AS label FROM events",
+        "translate_iterate_maps":
+            f"SELECT event_id, ({_case_exact('event_type', EVENT_LABELS, '?')})"
+            " || '|Error' AS baz_joined FROM events",
     }
