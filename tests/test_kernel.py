@@ -273,3 +273,31 @@ def test_duplicate_keys_last_value_first_position():
     snap = DictSnapshot([("a", 1), ("b", 2), ("a", 3)])
     assert snap.keys == ["a", "b"]
     assert snap.map["a"] == 3
+
+
+def test_union_sequential_fast_path_equivalence():
+    """The vectorized sequential-replace fast path must equal the
+    single-pass re.sub oracle on eligible dictionaries."""
+    from logstash_filter_translate_ray.pipelines.transcripts import REDACT_DICT
+    snap = DictSnapshot(REDACT_DICT)
+    assert snap.union_sequential_safe
+    cfg = TranslateConfig(source="s", target="t", exact=False,
+                          dictionary=dict(REDACT_DICT))
+    rows = [{"s": "saw error 503 and 404404 merci merci"},
+            {"s": "200200200"}, {"s": "nothing here"}, {"s": ""},
+            {"s": "err or 50 3"}]
+    run_both(cfg, rows)
+
+
+def test_union_fast_path_ineligible_dicts():
+    # containment: 'b' inside 'abc'
+    assert not DictSnapshot({"abc": "X", "b": "Y"}).union_sequential_safe
+    # cross overlap: suffix '3' of '503' is prefix of '301'
+    assert not DictSnapshot({"503": "X", "301": "Y"}).union_sequential_safe
+    # value contains a key
+    assert not DictSnapshot({"a": "bb", "bb": "c"}).union_sequential_safe
+    # overlap case must still produce single-pass semantics via re path
+    cfg = TranslateConfig(source="s", target="t", exact=False,
+                          dictionary={"503": "X", "301": "Y"})
+    out = run_both(cfg, [{"s": "50301"}])
+    assert out[0]["t"] == "X01"
