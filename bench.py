@@ -34,6 +34,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline transcript volume scales with sf: sf0.1 → 16M turns
 TURNS_PER_SF = 160_000_000
+# the scaling pair uses 2× the headline volume so compute dominates the
+# per-session fixed costs (~1 s) at the high parallelism level
+SCALING_TURNS_PER_SF = 320_000_000
 ROWS_PER_BLOCK = 250_000
 
 
@@ -53,9 +56,10 @@ def _init_ray(ncpu: int):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _input(sf: float) -> tuple[str, int, int]:
+def _input(sf: float, scaling: bool = False) -> tuple[str, int, int]:
     from logstash_filter_translate_ray.sources import transcripts_parquet_path
-    n_turns = max(100_000, int(TURNS_PER_SF * sf))
+    per_sf = SCALING_TURNS_PER_SF if scaling else TURNS_PER_SF
+    n_turns = max(100_000, int(per_sf * sf))
     tpath = transcripts_parquet_path(n_turns, seed=42, n_files=64)
     n_blocks = max(16, n_turns // ROWS_PER_BLOCK)
     return tpath, n_turns, n_blocks
@@ -69,7 +73,7 @@ def run_bench(scaling_mode: bool = False) -> dict:
     from logstash_filter_translate_ray.stages.aggregate import sink_counts
 
     sf = _sf_value(SF_DIR)
-    tpath, n_turns, n_blocks = _input(sf)
+    tpath, n_turns, n_blocks = _input(sf, scaling=scaling_mode)
 
     def dag():
         return build_enriched_dataset(

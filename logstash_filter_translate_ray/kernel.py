@@ -486,6 +486,103 @@ def _nulls_like(n: int, type_: Optional[pa.DataType]) -> pa.Array:
     return pa.nulls(n, type_ if type_ is not None else pa.string())
 
 
+# --------------------------------------------------------------------------
+# Nested struct paths ("[meta][class]" ⇔ struct column `meta`, child `class`)
+# --------------------------------------------------------------------------
+
+def resolve_path_column(tbl: pa.Table, ref: str) -> Optional[pa.Array]:
+    """Resolve a (possibly nested) field reference to a column: top-level
+    name, or a struct column's child chain. None when the path is absent."""
+    parts = parse_field_ref(ref)
+    head = parts[0]
+    if head not in tbl.column_names:
+        return None
+    col = _as_array(tbl[head])
+    for part in parts[1:]:
+        if not pa.types.is_struct(col.type):
+            return None
+        if isinstance(part, int) or part not in [f.name for f in col.type]:
+            return None
+        # null parents propagate nulls into the child view
+        child = pc.struct_field(col, part)
+        parent_null = pc.is_null(col)
+        col = _as_array(pc.if_else(parent_null,
+                                   pa.nulls(len(col), child.type), child))
+    return col
+
+
+def _rebuild_struct_with_child(struct_arr: pa.Array, parts: list,
+                               new_vals: pa.Array,
+                               write_mask: np.ndarray) -> pa.Array:
+    """Return a copy of ``struct_arr`` with the child at ``parts`` replaced
+    by ``new_vals`` where ``write_mask`` (nested write, event_set semantics:
+    intermediate structs are materialized for written rows)."""
+    n = len(struct_arr)
+    name = parts[0]
+    names = [f.name for f in struct_arr.type]
+    children = [_as_array(struct_arr.field(i)) for i in range(len(names))]
+    parent_null = pc.is_null(struct_arr).to_numpy(zero_copy_only=False)
+    if len(parts) == 1:
+        if name in names:
+            i = names.index(name)
+            old = children[i]
+            if old.type != new_vals.type and not pa.types.is_null(old.type) \
+                    and not pa.types.is_null(new_vals.type):
+                old = _as_array(_cast_to_string(old))
+                new_vals = _as_array(_cast_to_string(new_vals))
+            if pa.types.is_null(old.type):
+                old = pa.nulls(n, new_vals.type)
+            if pa.types.is_null(new_vals.type):
+                new_vals = pa.nulls(n, old.type)
+            children[i] = pc.if_else(pa.array(write_mask), new_vals, old)
+        else:
+            names.append(name)
+            children.append(pc.if_else(pa.array(write_mask), new_vals,
+                                       _nulls_like(n, new_vals.type)))
+    else:
+        if name in names and pa.types.is_struct(children[names.index(name)].type):
+            i = names.index(name)
+            children[i] = _rebuild_struct_with_child(
+                children[i], parts[1:], new_vals, write_mask)
+        else:
+            inner = _rebuild_struct_with_child(_empty_struct(n), parts[1:],
+                                               new_vals, write_mask)
+            if name in names:
+                children[names.index(name)] = inner
+            else:
+                names.append(name)
+                children.append(inner)
+    # written rows materialize the struct (event_set creates intermediates)
+    still_null = parent_null & ~write_mask
+    return pa.StructArray.from_arrays(children, names,
+                                      mask=pa.array(still_null))
+
+
+def _empty_struct(n: int) -> pa.Array:
+    return pa.array([{}] * n, type=pa.struct([]))
+
+
+def write_path_column(tbl: pa.Table, ref: str, new_vals: pa.Array,
+                      write_mask: np.ndarray) -> pa.Table:
+    """Write ``new_vals`` at a (possibly nested) field reference, preserving
+    unwritten rows (S2). Nested paths require/extend struct columns."""
+    parts = parse_field_ref(ref)
+    if len(parts) == 1:
+        return _merge_into_target(tbl, parts[0], write_mask, new_vals)
+    head = parts[0]
+    if head in tbl.column_names:
+        col = _as_array(tbl[head])
+        if not pa.types.is_struct(col.type):
+            raise ConfigurationError(
+                f"nested target {ref!r}: column {head!r} is {col.type}, not struct")
+    else:
+        col = pa.nulls(len(tbl), pa.struct([]))
+    new_col = _rebuild_struct_with_child(col, parts[1:], new_vals, write_mask)
+    if head in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(head), head, new_col)
+    return tbl.append_column(head, new_col)
+
+
 def _merge_into_target(tbl: pa.Table, target: str, write_mask: np.ndarray,
                        new_vals: pa.Array) -> pa.Table:
     """Write ``new_vals`` into column ``target`` where ``write_mask``,
@@ -542,15 +639,17 @@ def _with_matched(tbl: pa.Table, matched_col: Optional[str], mask: np.ndarray) -
 def _inclusion_mask(tbl: pa.Table, cfg: TranslateConfig, source_field: str,
                     check_override: bool = True) -> np.ndarray:
     """S1 + S2 as a boolean row mask. In the fixed-schema columnar world,
-    "field absent" ⇔ null cell (SURVEY §2 hard part (b))."""
+    "field absent" ⇔ null cell (SURVEY §2 hard part (b)). Nested struct
+    paths are supported on both source and target."""
     n = len(tbl)
-    if source_field not in tbl.column_names:
+    src_col = resolve_path_column(tbl, source_field)
+    if src_col is None:
         return np.zeros(n, dtype=bool)
-    incl = pc.is_valid(tbl[source_field]).to_numpy(zero_copy_only=False).copy()
-    if check_override and not cfg.override and cfg.target in tbl.column_names \
-            and cfg.target != source_field:
-        target_absent = pc.is_null(tbl[cfg.target]).to_numpy(zero_copy_only=False)
-        incl &= target_absent
+    incl = pc.is_valid(src_col).to_numpy(zero_copy_only=False).copy()
+    if check_override and not cfg.override and cfg.target != source_field:
+        tgt_col = resolve_path_column(tbl, cfg.target)
+        if tgt_col is not None:
+            incl &= pc.is_null(tgt_col).to_numpy(zero_copy_only=False)
     return incl
 
 
@@ -560,10 +659,11 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     incl = _inclusion_mask(tbl, cfg, cfg.source)
     if not incl.any():
         out = _merge_into_target(tbl, cfg.target, incl, _nulls_like(n, None)) \
-            if cfg.target not in tbl.column_names else tbl
+            if (cfg.target not in tbl.column_names
+                and len(parse_field_ref(cfg.target)) == 1) else tbl
         return _with_matched(out, matched_col, incl)
 
-    src = coerce_source_column(tbl[cfg.source])
+    src = coerce_source_column(resolve_path_column(tbl, cfg.source))
     matched, vals, idx = _lookup(cfg.strategy, src, snap, candidates=incl)
     matched = matched & incl
 
@@ -594,7 +694,7 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     if isinstance(new_vals, pa.ChunkedArray):
         new_vals = new_vals.combine_chunks()
 
-    out = _merge_into_target(tbl, cfg.target, write_mask, new_vals)
+    out = write_path_column(tbl, cfg.target, new_vals, write_mask)
     final_matched = (incl.copy() if cfg.in_place else write_mask.copy())
     return _with_matched(out, matched_col, final_matched)
 

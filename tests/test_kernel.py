@@ -301,3 +301,56 @@ def test_union_fast_path_ineligible_dicts():
                           dictionary={"503": "X", "301": "Y"})
     out = run_both(cfg, [{"s": "50301"}])
     assert out[0]["t"] == "X01"
+
+
+def test_nested_struct_source():
+    """Nested source read: source="[meta][code]" over a struct column."""
+    cfg = TranslateConfig(source="[meta][code]", target="t",
+                          dictionary=HTTP_DICT)
+    out = run_both(cfg, [{"meta": {"code": "200"}},
+                         {"meta": {"code": "zzz"}},
+                         {"meta": None}])
+    assert out[0]["t"] == "OK"
+    assert out[1].get("t") is None
+    assert out[2].get("t") is None
+
+
+def test_nested_struct_target_write():
+    """Nested target write: target="[meta][class]" adds a struct child."""
+    cfg = TranslateConfig(source="status", target="[meta][class]",
+                          dictionary=HTTP_DICT, override=True)
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({
+        "status": ["200", "x"],
+        "meta": pa.array([{"k": 1}, {"k": 2}],
+                         type=pa.struct([("k", pa.int64())])),
+    })
+    out = translate_table(tbl, cfg, snap).to_pylist()
+    assert out[0]["meta"] == {"k": 1, "class": "OK"}
+    assert out[1]["meta"] == {"k": 2, "class": None}
+    assert [r["translate_matched"] for r in out] == [True, False]
+
+
+def test_nested_target_creates_struct_column():
+    cfg = TranslateConfig(source="status", target="[meta][class]",
+                          dictionary=HTTP_DICT, override=True)
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({"status": ["200", "x"]})
+    out = translate_table(tbl, cfg, snap).to_pylist()
+    assert out[0]["meta"] == {"class": "OK"}
+    assert out[1]["meta"] is None   # unwritten rows keep a null struct
+
+
+def test_nested_target_respects_override_skip():
+    # S2 against a nested target
+    cfg = TranslateConfig(source="status", target="[meta][class]",
+                          dictionary=HTTP_DICT)   # override False
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({
+        "status": ["200", "200"],
+        "meta": pa.array([{"class": "keep"}, {"class": None}],
+                         type=pa.struct([("class", pa.string())])),
+    })
+    out = translate_table(tbl, cfg, snap).to_pylist()
+    assert out[0]["meta"]["class"] == "keep"
+    assert out[1]["meta"]["class"] == "OK"
