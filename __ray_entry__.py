@@ -341,6 +341,14 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a < id_b)."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.4)[["id_a", "id_b"]]
+
+
 def q_transcripts_pipeline(sf_dir: str):
     """Flagship DAG per-sink counts on deterministic synthetic transcripts
     (rows-only: the transcript table is not a registered DuckDB view)."""
@@ -386,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "translate_iterate_maps": q_translate_iterate_maps,
         "quality_scores": q_quality_scores,
         "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -461,4 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "translate_iterate_maps":
             f"SELECT event_id, ({_case_exact('event_type', EVENT_LABELS, '?')})"
             " || '|Error' AS baz_joined FROM events",
+        "embedding_neardup":
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
     }

@@ -68,6 +68,49 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     return out
 
 
+def embedding_neardup_pairs(ds, threshold: float = 0.9,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine
+    ≥ threshold.
+
+    Implementation: the normalized matrix is broadcast (``ray.put`` once);
+    each batch computes its rows against the full matrix — one numpy matmul
+    per batch, emitting only the above-threshold pairs. O(N²) work split
+    across batches; for 100 TB-scale N, route through
+    :class:`LshIndexStage` buckets first (compare only within a bucket and
+    its hamming-1 neighbors) — same per-batch kernel, candidate set shrunk
+    by ~2^n_planes.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    def batch_pairs(tbl: pa.Table) -> pa.Table:
+        ids_g, m_g = ray.get(ref)
+        mine = _normalize(_batch_matrix(tbl, vec_col).astype(np.float64))
+        my_ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        scores = mine @ m_g.T
+        ia, ib, sc = [], [], []
+        for r in range(scores.shape[0]):
+            hits = np.nonzero(scores[r] >= threshold)[0]
+            for h in hits:
+                if my_ids[r] < ids_g[h]:
+                    ia.append(int(my_ids[r]))
+                    ib.append(int(ids_g[h]))
+                    sc.append(float(scores[r, h]))
+        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
+                         "id_b": pa.array(ib, type=pa.int64()),
+                         "cosine": pa.array(sc, type=pa.float64())})
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow",
+                          batch_size=None).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 class LshIndexStage:
     """Random-hyperplane signature stage: ``__init__`` draws the (seeded)
     hyperplanes once per actor; ``__call__`` adds a bucket column."""

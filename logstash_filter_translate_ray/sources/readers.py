@@ -1,0 +1,43 @@
+"""Source readers for the transcript schema: Parquet (primary), CSV, and
+JSON-lines — all producing the identical `TRANSCRIPT_SCHEMA` Dataset so the
+whole DAG is source-agnostic (the reference has no sources of its own;
+Logstash inputs are host-provided, SURVEY §2.3)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import ray.data as rd
+
+from .transcripts import TRANSCRIPT_SCHEMA
+
+_CONVERT = pacsv.ConvertOptions(
+    column_types={f.name: f.type for f in TRANSCRIPT_SCHEMA})
+
+
+def read_transcripts_csv(paths: "str | list[str]") -> "rd.Dataset":
+    """CSV transcript source with the fixed schema enforced at parse time
+    (timestamps as ISO8601 strings in the ``ts`` column)."""
+    ds = rd.read_csv(paths, convert_options=_CONVERT)
+    return ds.map_batches(_conform, batch_format="pyarrow", batch_size=None)
+
+
+def read_transcripts_json(paths: "str | list[str]") -> "rd.Dataset":
+    """JSON-lines transcript source; fields coerced to the fixed schema."""
+    ds = rd.read_json(paths)
+    return ds.map_batches(_conform, batch_format="pyarrow", batch_size=None)
+
+
+def _conform(tbl: pa.Table) -> pa.Table:
+    cols = {}
+    for f in TRANSCRIPT_SCHEMA:
+        if f.name in tbl.column_names:
+            col = tbl[f.name]
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols[f.name] = col
+        else:
+            cols[f.name] = pa.nulls(len(tbl), f.type)
+    return pa.table(cols, schema=TRANSCRIPT_SCHEMA)

@@ -146,3 +146,44 @@ def test_multimodal_resize_stage(ray_session):
 def test_multimodal_real_codecs_gated():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeFeatureStage(use_real_codecs=True)
+
+
+def test_embedding_neardup_matches_bruteforce(emb_ds):
+    import numpy as np
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs)
+    got = embedding_neardup_pairs(emb_ds, threshold=0.4)
+    tbl = emb_ds.to_pandas()
+    m = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    ids = tbl["vec_id"].to_numpy()
+    want = sorted((int(ids[i]), int(ids[j]))
+                  for i in range(len(ids)) for j in range(len(ids))
+                  if ids[i] < ids[j] and s[i, j] >= 0.4)
+    assert list(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_csv_json_transcript_sources(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import json as _json
+    from logstash_filter_translate_ray.sources import make_transcripts
+    from logstash_filter_translate_ray.sources.readers import (
+        read_transcripts_csv, read_transcripts_json)
+    from logstash_filter_translate_ray.pipelines import build_enriched_dataset
+
+    tbl = make_transcripts(500, seed=7)
+    csv_path = str(tmp_path / "t.csv")
+    pacsv.write_csv(tbl, csv_path)
+    out_csv = build_enriched_dataset(read_transcripts_csv(csv_path)).to_pandas()
+    assert len(out_csv) == 500 and "route" in out_csv.columns
+
+    json_path = str(tmp_path / "t.jsonl")
+    with open(json_path, "w") as f:
+        for r in tbl.to_pylist():
+            r["ts"] = r["ts"].isoformat()
+            f.write(_json.dumps(r) + "\n")
+    out_json = build_enriched_dataset(read_transcripts_json(json_path)).to_pandas()
+    assert len(out_json) == 500
+    assert sorted(out_json["conv_id"]) == sorted(out_csv["conv_id"])
