@@ -817,6 +817,9 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
     if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
         raise ConfigurationError(
             f"iterate_on column {it!r} must be list<struct>, got {col.type}")
+    if pa.types.is_null(col.type.value_type):
+        # every list is empty/null → no elements to translate (no-op rows)
+        return _with_matched(tbl, matched_col, np.zeros(n, dtype=bool))
     if not pa.types.is_struct(col.type.value_type):
         raise ConfigurationError(
             f"iterate_on column {it!r} must be list<struct>, got {col.type}")

@@ -40,10 +40,12 @@ def run_both(cfg, rows, dictionary=None):
 
 
 def _norm(v):
+    """Engine convention: absent ⇔ null (SURVEY §2.5 S1 note), so a struct
+    child holding None compares equal to a missing dict key."""
     if isinstance(v, list):
         return [_norm(x) for x in v]
     if isinstance(v, dict):
-        return {k: _norm(x) for k, x in v.items()}
+        return {k: _norm(x) for k, x in v.items() if x is not None}
     return v
 
 

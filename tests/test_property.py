@@ -1,0 +1,75 @@
+"""Property-based differential testing: for random dictionaries, configs and
+rows, the vectorized Arrow kernel must agree exactly with the row-oriented
+oracle (which is a direct transcription of the reference semantics)."""
+
+import string
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                           translate_row, translate_table)
+from tests.test_kernel import run_both
+
+keys = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1,
+               max_size=6)
+str_values = st.text(alphabet=string.ascii_letters + string.digits + " []",
+                     max_size=10)
+# one Python type per column (Arrow columns are single-typed)
+int_vals = st.one_of(st.none(), st.integers(min_value=-1000, max_value=10_000))
+str_vals = st.one_of(st.none(), st.text(
+    alphabet=string.ascii_lowercase + string.digits + " &", max_size=12))
+source_cols = st.one_of(
+    st.lists(int_vals, min_size=1, max_size=12),
+    st.lists(str_vals, min_size=1, max_size=12),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    d=st.dictionaries(keys, str_values, max_size=8),
+    rows=source_cols,
+    strategy=st.sampled_from(["exact", "exact_regex", "regex_union"]),
+    fallback=st.one_of(st.none(), st.just("fb"), st.just("fb %{other}")),
+    override=st.booleans(),
+)
+def test_kernel_equals_oracle_single(d, rows, strategy, fallback, override):
+    cfg = TranslateConfig(
+        source="s", target="t", dictionary=d, fallback=fallback,
+        override=override,
+        exact=strategy != "regex_union", regex=strategy == "exact_regex")
+    run_both(cfg, [{"s": v, "other": "x"} for v in rows])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    d=st.dictionaries(keys, str_values, max_size=6),
+    rows=st.one_of(
+        st.lists(st.one_of(st.none(), st.lists(int_vals, max_size=5)),
+                 min_size=1, max_size=8),
+        st.lists(st.one_of(st.none(), st.lists(str_vals, max_size=5)),
+                 min_size=1, max_size=8),
+    ),
+    fallback=st.one_of(st.none(), st.just("fb")),
+)
+def test_kernel_equals_oracle_array_of_values(d, rows, fallback):
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                          dictionary=d, fallback=fallback)
+    run_both(cfg, [{"foo": v} for v in rows])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    d=st.dictionaries(keys, str_values, min_size=1, max_size=6),
+    rows=st.one_of(
+        st.lists(st.lists(st.fixed_dictionaries({"bar": int_vals}),
+                          max_size=4), min_size=1, max_size=6),
+        st.lists(st.lists(st.fixed_dictionaries({"bar": str_vals}),
+                          max_size=4), min_size=1, max_size=6),
+    ),
+    fallback=st.one_of(st.none(), st.just("fb")),
+)
+def test_kernel_equals_oracle_array_of_maps(d, rows, fallback):
+    cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
+                          dictionary=d, fallback=fallback)
+    run_both(cfg, [{"foo": v} for v in rows])
