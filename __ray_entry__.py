@@ -341,6 +341,29 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_events_pipeline(sf_dir: str):
+    """Full parse → enrich → route → aggregate DAG over the events table in
+    one query (grok multi-capture parse of props, dictionary enrich with
+    fallback, dictionary routing, per-sink × label counts)."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import (GrokRule, ParseConfig,
+                                                      parse_dataset,
+                                                      route_dataset,
+                                                      sink_counts,
+                                                      translate_dataset)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    ds = parse_dataset(ds, ParseConfig(rules=(
+        GrokRule(source="props", pattern=r'"k": (?P<k_value>\d+)',
+                 casts=(("k_value", "int64"),)),)))
+    cfg = TranslateConfig(source="event_type", target="label",
+                          dictionary=dict(EVENT_LABELS), fallback="unknown",
+                          override=True)
+    ds = translate_dataset(ds, cfg, matched_col=None)
+    ds = route_dataset(ds, EVENT_ROUTES, key="event_type",
+                       default_route="ops")
+    return sink_counts(ds, by=["label"])
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a < id_b)."""
     from logstash_filter_translate_ray.functions.similarity import (
@@ -395,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "events_pipeline": q_events_pipeline,
     }
 
 
@@ -474,4 +498,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        "events_pipeline":
+            f"SELECT {route_case} AS route, {exact_case} AS label, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2",
     }

@@ -1,11 +1,11 @@
 from .translate_stage import TranslateFn, translate_dataset, make_translate_batch_fn
-from .parse import ParseConfig, parse_batch, parse_dataset
+from .parse import ExtractRule, GrokRule, ParseConfig, parse_batch, parse_dataset
 from .route import route_dataset, write_routed
 from .aggregate import sink_counts, matched_counts, conv_turn_counts
 
 __all__ = [
     "TranslateFn", "translate_dataset", "make_translate_batch_fn",
-    "ParseConfig", "parse_batch", "parse_dataset",
+    "ExtractRule", "GrokRule", "ParseConfig", "parse_batch", "parse_dataset",
     "route_dataset", "write_routed",
     "sink_counts", "matched_counts", "conv_turn_counts",
 ]

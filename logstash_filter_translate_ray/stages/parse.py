@@ -30,6 +30,17 @@ class ExtractRule:
 
 
 @dataclass(frozen=True)
+class GrokRule:
+    """Grok-style multi-capture rule: a pattern with NAMED groups
+    (``(?P<a>..)...(?P<b>..)``) extracting several columns from one column
+    in a single RE2 pass (``pc.extract_regex`` returns a struct; each named
+    group becomes a column, all-null on non-matching rows)."""
+    source: str
+    pattern: str          # named groups only
+    casts: tuple = ()     # optional ((group, arrow_type_name), ...)
+
+
+@dataclass(frozen=True)
 class ParseConfig:
     rules: tuple = ()
 
@@ -51,6 +62,10 @@ def _compile_plan(cfg: ParseConfig):
     plan = []
     probe = pa.array([], type=pa.string())
     for r in cfg.rules:
+        if isinstance(r, GrokRule):
+            pc.extract_regex(probe, pattern=r.pattern)   # raises on bad RE2
+            plan.append((r, r.pattern, None))
+            continue
         # pc.extract_regex needs a named group
         named = re.sub(r"\((?!\?)", f"(?P<{r.out}>", r.pattern, count=1)
         try:
@@ -63,6 +78,9 @@ def _compile_plan(cfg: ParseConfig):
 
 def parse_batch(tbl: pa.Table, plan) -> pa.Table:
     for rule, named, pyre in plan:
+        if isinstance(rule, GrokRule):
+            tbl = _apply_grok(tbl, rule)
+            continue
         if rule.source not in tbl.column_names:
             tbl = tbl.append_column(rule.out, pa.nulls(len(tbl), pa.string()))
             continue
@@ -84,6 +102,26 @@ def parse_batch(tbl: pa.Table, plan) -> pa.Table:
         if rule.cast:
             vals = pc.cast(vals, rule.cast)
         tbl = tbl.append_column(rule.out, vals)
+    return tbl
+
+
+def _apply_grok(tbl: pa.Table, rule: "GrokRule") -> pa.Table:
+    group_names = re.findall(r"\(\?P<([^>]+)>", rule.pattern)
+    casts = dict(rule.casts)
+    if rule.source not in tbl.column_names:
+        for g in group_names:
+            tbl = tbl.append_column(g, pa.nulls(len(tbl),
+                                                casts.get(g, pa.string())))
+        return tbl
+    col = tbl[rule.source]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ext = pc.extract_regex(col, pattern=rule.pattern)   # one RE2 pass
+    for g in group_names:
+        vals = pc.struct_field(ext, g)
+        if g in casts:
+            vals = pc.cast(vals, casts[g])
+        tbl = tbl.append_column(g, vals)
     return tbl
 
 

@@ -195,3 +195,18 @@ def test_resume_after_partial_failure(ray_session, transcripts_path, tmp_path):
     assert r2["shards_run"] == 1
     assert r2["route_counts"] == full["route_counts"]
     assert r2["rows_out"] == N_TURNS
+
+
+def test_grok_rule_multi_capture(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages import (GrokRule, ParseConfig,
+                                                      parse_dataset)
+    tbl = pa.table({"line": ["GET /api 200 12ms", "POST /x 500 3ms", "junk"]})
+    cfg = ParseConfig(rules=(
+        GrokRule(source="line",
+                 pattern=r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>\d{3})",
+                 casts=(("code", "int64"),)),))
+    out = parse_dataset(rd.from_arrow(tbl), cfg).to_pandas()
+    assert out["verb"].tolist() == ["GET", "POST", None]
+    assert out["path"].tolist() == ["/api", "/x", None]
+    assert [None if c != c else int(c) for c in out["code"]] == [200, 500, None]
