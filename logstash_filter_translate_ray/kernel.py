@@ -97,6 +97,7 @@ class DictSnapshot:
         self._union_re: Optional["re.Pattern"] = None
         self._values_str: Optional[list[str]] = None
         self._union_seq_safe: Optional[bool] = None
+        self._regex_groups: Optional[list] = None
 
     def __len__(self) -> int:
         return len(self.map)
@@ -139,6 +140,49 @@ class DictSnapshot:
                 rows.append((k, compiled, arrow_ok))
             self._regex_rows = rows
         return self._regex_rows
+
+    REGEX_GROUP_SIZE = 32
+
+    @property
+    def regex_groups(self) -> list[tuple[int, int, Optional[str]]]:
+        """Two-level structure for large regex dictionaries:
+        ``[(start, end, group_pattern | None)]`` — consecutive arrow-safe
+        patterns are OR-ed into one RE2 alternation (``(?:p1)|(?:p2)|…``) so
+        a batch needs ~K/32 vector passes to find WHICH group matches, then
+        resolves first-match-wins inside the (usually single) hit group.
+        Python-only patterns become singleton groups with ``None``.
+
+        This is the scale answer to the reference's 100k-key dictionaries
+        (fetch_strategy/file.rb:36-38): compile once per snapshot, amortize
+        across batches.
+        """
+        if self._regex_groups is None:
+            rows = self.regex_rows
+            groups: list[tuple[int, int, Optional[str]]] = []
+            i = 0
+            probe = pa.array([], type=pa.string())
+            while i < len(rows):
+                if not rows[i][2]:               # python-only → singleton
+                    groups.append((i, i + 1, None))
+                    i += 1
+                    continue
+                j = i
+                while j < len(rows) and rows[j][2] \
+                        and j - i < self.REGEX_GROUP_SIZE:
+                    j += 1
+                pattern = "|".join(f"(?:{rows[k][0]})" for k in range(i, j))
+                try:
+                    pc.match_substring_regex(probe, pattern=pattern)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pattern = None               # composite rejected → singles
+                if pattern is None:
+                    for k in range(i, j):
+                        groups.append((k, k + 1, rows[k][0]))
+                else:
+                    groups.append((i, j, pattern))
+                i = j
+            self._regex_groups = groups
+        return self._regex_groups
 
     @property
     def union_re(self) -> Optional["re.Pattern"]:
@@ -348,21 +392,56 @@ def lookup_exact_regex(src: pa.Array, snap: DictSnapshot,
     if candidates is not None:
         remaining &= candidates
     src_np: Optional[np.ndarray] = None
-    for j, (raw, compiled, arrow_ok) in enumerate(snap.regex_rows):
-        if not remaining.any():
-            break
-        if arrow_ok:
-            m = pc.match_substring_regex(src, pattern=raw).to_numpy(zero_copy_only=False)
-            m = np.where(valid, m, False).astype(bool)
-        else:
-            if src_np is None:
-                src_np = src.to_numpy(zero_copy_only=False)
-            m = np.zeros(n, dtype=bool)
-            for i in np.nonzero(remaining)[0]:
-                m[i] = compiled.search(src_np[i]) is not None
-        newly = m & remaining
-        match_idx[newly] = j
-        remaining &= ~newly
+    rows = snap.regex_rows
+    if len(rows) > DictSnapshot.REGEX_GROUP_SIZE:
+        # two-level path: one alternation pass per group of 32 keys finds
+        # the hit rows; first-match-wins is resolved only on those rows
+        for start, end, group_pat in snap.regex_groups:
+            if not remaining.any():
+                break
+            if group_pat is not None:
+                g = pc.match_substring_regex(src, pattern=group_pat) \
+                    .to_numpy(zero_copy_only=False)
+                hits = np.where(valid, g, False).astype(bool) & remaining
+            else:                                   # python-only singleton
+                if src_np is None:
+                    src_np = src.to_numpy(zero_copy_only=False)
+                hits = np.zeros(n, dtype=bool)
+                compiled = rows[start][1]
+                for i in np.nonzero(remaining)[0]:
+                    hits[i] = compiled.search(src_np[i]) is not None
+            if not hits.any():
+                continue
+            if end - start == 1:
+                match_idx[hits] = start
+            else:
+                if src_np is None:
+                    src_np = src.to_numpy(zero_copy_only=False)
+                idxs = np.nonzero(hits)[0]
+                for i in idxs:
+                    s = src_np[i]
+                    for j in range(start, end):
+                        if rows[j][1].search(s):
+                            match_idx[i] = j
+                            break
+            remaining &= ~(match_idx >= 0)
+    else:
+        for j, (raw, compiled, arrow_ok) in enumerate(rows):
+            if not remaining.any():
+                break
+            if arrow_ok:
+                m = pc.match_substring_regex(src, pattern=raw) \
+                    .to_numpy(zero_copy_only=False)
+                m = np.where(valid, m, False).astype(bool)
+            else:
+                if src_np is None:
+                    src_np = src.to_numpy(zero_copy_only=False)
+                m = np.zeros(n, dtype=bool)
+                for i in np.nonzero(remaining)[0]:
+                    m[i] = compiled.search(src_np[i]) is not None
+            newly = m & remaining
+            match_idx[newly] = j
+            remaining &= ~newly
     matched = match_idx >= 0
     varr = snap.value_array
     if varr is not None:

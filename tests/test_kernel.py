@@ -356,3 +356,36 @@ def test_nested_target_respects_override_skip():
     out = translate_table(tbl, cfg, snap).to_pylist()
     assert out[0]["meta"]["class"] == "keep"
     assert out[1]["meta"]["class"] == "OK"
+
+
+def test_exact_regex_grouped_large_dict():
+    """>32 regex keys takes the grouped-alternation path; results must equal
+    the row oracle (insertion-order first-match-wins preserved)."""
+    d = {f"^key{i:04d}$": f"v{i}" for i in range(200)}
+    # overlapping patterns exercising ordering across group boundaries
+    d["^key01"] = "prefix-early"      # inserted AFTER ^key0100$ etc → later
+    cfg = TranslateConfig(source="s", target="t", regex=True, dictionary=d)
+    rows = [{"s": "key0000"}, {"s": "key0100"}, {"s": "key0199"},
+            {"s": "key0150x"}, {"s": "nothing"}, {"s": None}]
+    out = run_both(cfg, rows)
+    assert out[0]["t"] == "v0"
+    assert out[1]["t"] == "v100"     # exact key beats later prefix key
+    assert out[3]["t"] == "prefix-early"   # only the prefix key matches
+    assert out[4].get("t") is None
+
+
+def test_exact_regex_grouped_perf_sanity():
+    import time
+    d = {f"^pat{i:05d}": f"v{i}" for i in range(5000)}
+    snap = DictSnapshot(d)
+    src = pa.array([f"pat{(i * 7) % 5000:05d}" for i in range(5000)] +
+                   ["no-match"] * 45000)
+    from logstash_filter_translate_ray.kernel import lookup_exact_regex
+    lookup_exact_regex(src, snap)          # compile + warm
+    t0 = time.perf_counter()
+    matched, vals, idx = lookup_exact_regex(src, snap)
+    dt = time.perf_counter() - t0
+    assert matched.sum() == 5000
+    # grouped path: ~156 alternation passes over 50k rows; the naive path
+    # would need 5000 passes. Loose bound to avoid flaky CI.
+    assert dt < 20.0, dt
