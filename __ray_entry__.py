@@ -341,6 +341,17 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_filter_pushdown(sf_dir: str):
+    """Predicate + column pruning at the read (row-group pushdown via a
+    pyarrow dataset expression — only matching row groups leave storage)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"],
+                         filter=(pc.field("event_type") == "error"))
+    return ds
+
+
 def q_events_pipeline(sf_dir: str):
     """Full parse → enrich → route → aggregate DAG over the events table in
     one query (grok multi-capture parse of props, dictionary enrich with
@@ -419,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_pipeline": q_events_pipeline,
+        "filter_pushdown": q_filter_pushdown,
     }
 
 
@@ -501,4 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pipeline":
             f"SELECT {route_case} AS route, {exact_case} AS label, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2",
+        "filter_pushdown":
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'error'",
     }

@@ -210,3 +210,16 @@ def test_grok_rule_multi_capture(ray_session):
     assert out["verb"].tolist() == ["GET", "POST", None]
     assert out["path"].tolist() == ["/api", "/x", None]
     assert [None if c != c else int(c) for c in out["code"]] == [200, 500, None]
+
+
+def test_conv_turn_counts_skew_safe(ray_session, transcripts_path):
+    """Distributed (salted-partials) conv aggregate equals a pandas oracle
+    on Zipf-skewed data with a hot conversation."""
+    from logstash_filter_translate_ray.stages.aggregate import conv_turn_counts
+    from logstash_filter_translate_ray.pipelines.transcripts import read_transcripts
+    got = conv_turn_counts(read_transcripts(transcripts_path)) \
+        .to_pandas().set_index("conv_id")["turns"].to_dict()
+    want = pq.read_table(transcripts_path).to_pandas() \
+        .groupby("conv_id").size().to_dict()
+    assert got == want
+    assert max(want.values()) > 20 * (sum(want.values()) / len(want))  # real skew
