@@ -54,6 +54,17 @@ class TranslateConfig:
         self._validate()
 
     def _validate(self) -> None:
+        # Logstash config also accepts the flat array form
+        # ["200","OK","300","Redirect",...] (used throughout the reference
+        # specs, e.g. translate_spec.rb:31-34) — normalize to a dict.
+        if isinstance(self.dictionary, (list, tuple)):
+            if len(self.dictionary) % 2 != 0:
+                raise ConfigurationError(
+                    "translate dictionary in array form must have an even "
+                    "number of entries")
+            it = iter(self.dictionary)
+            self.dictionary = dict(zip(it, it))
+
         # translate.rb:184-191 — dictionary XOR dictionary_path
         if self.dictionary_path and self.dictionary:
             raise ConfigurationError(

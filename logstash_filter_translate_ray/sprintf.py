@@ -75,14 +75,16 @@ def sprintf_column(template: str, tbl: pa.Table) -> pa.Array:
     if is_static(template):
         return pa.array(np.full(n, template, dtype=object), type=pa.string())
 
+    from .kernel import resolve_path_column  # nested refs: %{[meta][code]}
+
     pieces: list[pa.Array] = []
     pos = 0
     for m in _REF.finditer(template):
         literal = template[pos : m.start()]
         pieces.append(_const(literal, n))
         ref = m.group(1)
-        if ref in tbl.column_names:
-            col = tbl[ref]
+        col = tbl[ref] if ref in tbl.column_names else resolve_path_column(tbl, ref)
+        if col is not None:
             s = _cast_to_string(col)
             # null → literal %{ref}
             s = pc.if_else(pc.is_valid(s), s, pa.scalar(m.group(0), type=pa.string()))

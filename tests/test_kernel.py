@@ -389,3 +389,31 @@ def test_exact_regex_grouped_perf_sanity():
     # grouped path: ~156 alternation passes over 50k rows; the naive path
     # would need 5000 passes. Loose bound to avoid flaky CI.
     assert dt < 20.0, dt
+
+
+def test_array_form_dictionary():
+    """Logstash flat-array dictionary form (translate_spec.rb:31-34)."""
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary=["200", "OK", "300", "Redirect",
+                                      "400", "Client Error",
+                                      "500", "Server Error"])
+    out = run_both(cfg, [{"status": 200}])
+    assert out[0]["translation"] == "OK"
+    import pytest as _pt
+    from logstash_filter_translate_ray import ConfigurationError
+    with _pt.raises(ConfigurationError, match="even number"):
+        TranslateConfig(source="s", dictionary=["a", "1", "b"])
+
+
+def test_fallback_sprintf_nested_ref():
+    cfg = TranslateConfig(source="status", target="t", dictionary={},
+                          fallback="miss %{[meta][code]}")
+    snap = DictSnapshot({})
+    tbl = pa.table({
+        "status": ["x", "y"],
+        "meta": pa.array([{"code": "abc"}, None],
+                         type=pa.struct([("code", pa.string())])),
+    })
+    out = translate_table(tbl, cfg, snap).to_pylist()
+    assert out[0]["t"] == "miss abc"
+    assert out[1]["t"] == "miss %{[meta][code]}"   # unresolved → literal
