@@ -341,6 +341,33 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_topk_users(sf_dir: str):
+    """Grouped count → multi-key sort (n desc, user_id asc) → limit 10."""
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_counts(ds, ["user_id"], driver_merge=False)
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_agg_minmax(sf_dir: str):
+    """Grouped MIN/MAX over integer cents (combiner-style partials)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t2 = pa.table({"event_type": t["event_type"], "cents": cents})
+        return t2.group_by(["event_type"]).aggregate(
+            [("cents", "min"), ("cents", "max")]) \
+            .rename_columns(["event_type", "min_cents", "max_cents"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("event_type").aggregate(
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"))
+
+
 def q_filter_pushdown(sf_dir: str):
     """Predicate + column pruning at the read (row-group pushdown via a
     pyarrow dataset expression — only matching row groups leave storage)."""
@@ -431,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
+        "topk_users": q_topk_users,
+        "agg_minmax": q_agg_minmax,
     }
 
 
@@ -516,4 +545,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown":
             "SELECT event_id, event_type, value FROM events "
             "WHERE event_type = 'error'",
+        "topk_users":
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id LIMIT 10",
+        "agg_minmax":
+            "SELECT event_type, "
+            "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
+            "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
+            "FROM events GROUP BY event_type",
     }
