@@ -152,13 +152,18 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-2 fresh sessions per level (shared-host VM noise floor)
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
-
     lo, hi = 4, 16
-    r_lo, r_hi = run(lo), run(hi)
+    # three ALTERNATING trials per level, keep each level's minimum: the
+    # shared-host noise is drift over minutes, so interleaving the levels
+    # and taking mins removes it from the ratio (each level gets an equal
+    # shot at the quiet windows)
+    best: dict[int, dict] = {}
+    for _ in range(3):
+        for ncpu in (lo, hi):
+            r = run_once(ncpu)
+            if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    r_lo, r_hi = best[lo], best[hi]
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (num_cpus 4 → 16, fresh sessions, same input)",
