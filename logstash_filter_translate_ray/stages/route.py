@@ -35,10 +35,42 @@ def route_dataset(ds: "ray.data.Dataset", routes: dict[str, str], *,
 
 
 def write_routed(ds: "ray.data.Dataset", out_dir: str, *,
-                 route_col: str = "route",
+                 route_col: str = "route", file_format: str = "parquet",
                  min_rows_per_file: Optional[int] = None) -> None:
-    """Single-pass fan-out sink: hive-partitioned parquet by route."""
+    """Single-pass fan-out sink: hive-partitioned output by route
+    (parquet default; JSON-lines for downstream text consumers)."""
     kwargs = {}
     if min_rows_per_file is not None:
         kwargs["min_rows_per_file"] = min_rows_per_file
-    ds.write_parquet(out_dir, partition_cols=[route_col], **kwargs)
+    if file_format == "parquet":
+        ds.write_parquet(out_dir, partition_cols=[route_col], **kwargs)
+    elif file_format == "json":
+        # this Ray release's write_json has no partition_cols — single-pass
+        # manual fan-out: each task splits its block by route and writes one
+        # JSONL file per (block, route), named by content hash so task
+        # RETRIES overwrite the same file (idempotent sink)
+        import json as _json
+        import os
+        import zlib
+
+        def _write(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            routes = pc.unique(batch[route_col]).to_pylist()
+            for r in routes:
+                part = batch.filter(pc.equal(batch[route_col], r))
+                rows = part.to_pylist()
+                payload = "\n".join(
+                    _json.dumps(row, default=str) for row in rows) + "\n"
+                d = os.path.join(out_dir, f"{route_col}={r}")
+                os.makedirs(d, exist_ok=True)
+                name = f"part-{zlib.crc32(payload.encode()):08x}.jsonl"
+                tmp = os.path.join(d, name + ".tmp")
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, os.path.join(d, name))
+            return pa.table({"rows": pa.array([len(batch)], type=pa.int64())})
+
+        ds.map_batches(_write, batch_format="pyarrow",
+                       batch_size=None).count()
+    else:
+        raise ValueError(f"unsupported sink format {file_format!r}")

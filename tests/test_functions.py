@@ -187,3 +187,21 @@ def test_csv_json_transcript_sources(ray_session, tmp_path):
     out_json = build_enriched_dataset(read_transcripts_json(json_path)).to_pandas()
     assert len(out_json) == 500
     assert sorted(out_json["conv_id"]) == sorted(out_csv["conv_id"])
+
+
+def test_frame_sample_plan():
+    from logstash_filter_translate_ray.functions.multimodal import frame_sample_plan
+    assert frame_sample_plan(100, every=10) == list(range(0, 100, 10))
+    assert frame_sample_plan(5, every=10) == [0]
+    assert frame_sample_plan(0) == []
+
+
+def test_json_fanout_sink(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.route import write_routed
+    tbl = pa.table({"x": [1, 2, 3], "route": ["a", "a", "b"]})
+    out = str(tmp_path / "j")
+    write_routed(rd.from_arrow(tbl), out, file_format="json")
+    parts = sorted(p for p in os.listdir(out) if p.startswith("route="))
+    assert parts == ["route=a", "route=b"]
