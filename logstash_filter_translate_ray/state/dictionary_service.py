@@ -91,6 +91,13 @@ class DictionaryService:
 
 
 def get_or_create_dictionary_service(name: str, **kwargs) -> "ray.actor.ActorHandle":
-    """Named-actor get-or-create so every pipeline stage shares one service."""
+    """Named-actor get-or-create so every pipeline stage shares one service.
+
+    ``lifetime="detached"``: the service may be (re)created from inside a
+    pool worker's ``__init__`` (whichever caller wins the get-or-create
+    race); a non-detached actor would die with that worker when its pool
+    scales down, killing the dictionary for every other stage. Detached
+    actors live until the Ray session ends (or an explicit ``ray.kill``).
+    """
     return DictionaryService.options(
-        name=name, get_if_exists=True, lifetime=None).remote(**kwargs)
+        name=name, get_if_exists=True, lifetime="detached").remote(**kwargs)

@@ -223,3 +223,32 @@ def test_conv_turn_counts_skew_safe(ray_session, transcripts_path):
         .groupby("conv_id").size().to_dict()
     assert got == want
     assert max(want.values()) > 20 * (sum(want.values()) / len(want))  # real skew
+
+
+def test_actor_pool_iterate_on(ray_session, tmp_path):
+    """iterate_on shape through the file-backed actor-pool stage."""
+    import ray.data as rd
+    dict_path = str(tmp_path / "d.csv")
+    with open(dict_path, "w") as f:
+        f.write("200,OK\n300,Redirect\n")
+    cfg = TranslateConfig(iterate_on="codes", source="codes", target="labels",
+                          dictionary_path=dict_path, refresh_interval=-1,
+                          fallback="?")
+    ds = rd.from_arrow(pa.table({
+        "codes": pa.array([["200", "300"], ["200", "zzz"], None],
+                          type=pa.list_(pa.string()))}))
+    rows = translate_dataset(ds, cfg, service_name="test-iter-actor",
+                             concurrency=1).take_all()
+    got = [r["labels"] for r in rows]
+    got = [None if v is None else list(v) for v in got]
+    assert got == [["OK", "Redirect"], ["OK", "?"], None]
+
+
+def test_ecs_v8_in_place(ray_session):
+    """ecs_compatibility v8 behaves like v1: in-place default target."""
+    cfg = TranslateConfig(source="msg", dictionary={"a": "b"},
+                          ecs_compatibility="v8")
+    assert cfg.target == "msg" and cfg.override
+    snap = DictSnapshot(cfg.dictionary)
+    out = translate_row({"msg": "a"}, cfg, snap)
+    assert out is True

@@ -73,3 +73,17 @@ def test_kernel_equals_oracle_array_of_maps(d, rows, fallback):
     cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
                           dictionary=d, fallback=fallback)
     run_both(cfg, [{"foo": v} for v in rows])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    d=st.dictionaries(keys, str_values, min_size=1, max_size=6),
+    codes=st.lists(st.one_of(st.none(), keys), min_size=1, max_size=8),
+    fallback=st.one_of(st.none(), st.just("fb")),
+)
+def test_kernel_equals_oracle_nested_source_target(d, codes, fallback):
+    """Nested struct source + nested target vs the row oracle."""
+    cfg = TranslateConfig(source="[meta][code]", target="[meta][cls]",
+                          dictionary=d, fallback=fallback, override=True)
+    rows = [{"meta": ({"code": c} if c is not None else None)} for c in codes]
+    run_both(cfg, rows)
