@@ -341,6 +341,29 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_tumbling_counts(sf_dir: str):
+    """Tumbling 1-hour window counts per event_type (row-local bucket +
+    combiner aggregate — no per-key shuffle)."""
+    from logstash_filter_translate_ray.stages.window import tumbling_counts
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return tumbling_counts(ds, keys=("event_type",), unit="hour")
+
+
+def q_prev_event_gap(sf_dir: str):
+    """Per-user previous-event gap in µs (as-of/self-lag via per-key
+    groups ordered by (ts, event_id))."""
+    from logstash_filter_translate_ray.stages.window import prev_event_gap
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return prev_event_gap(ds)
+
+
+def q_session_counts(sf_dir: str):
+    """Sessionization: 30-minute inactivity gap, sessions per user."""
+    from logstash_filter_translate_ray.stages.window import session_counts
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return session_counts(ds, gap="30min")
+
+
 def q_topk_users(sf_dir: str):
     """Grouped count → multi-key sort (n desc, user_id asc) → limit 10."""
     from logstash_filter_translate_ray.stages.aggregate import grouped_counts
@@ -460,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_pushdown": q_filter_pushdown,
         "topk_users": q_topk_users,
         "agg_minmax": q_agg_minmax,
+        "tumbling_counts": q_tumbling_counts,
+        "prev_event_gap": q_prev_event_gap,
+        "session_counts": q_session_counts,
     }
 
 
@@ -553,4 +579,17 @@ def oracle_sql() -> dict[str, str]:
             "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
             "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
             "FROM events GROUP BY event_type",
+        "tumbling_counts":
+            "SELECT date_trunc('hour', ts) AS bucket, event_type, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2",
+        "prev_event_gap":
+            "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us "
+            "FROM events",
+        "session_counts":
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+            "SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR "
+            "gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM g GROUP BY user_id",
     }
