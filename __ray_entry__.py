@@ -341,6 +341,22 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_distinct_types(sf_dir: str):
+    """Set op: distinct values of a column (Ray unique — a shuffle op)."""
+    import ray.data as rd
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
+
+
+def q_union_counts(sf_dir: str):
+    """Dataset union: events ∪ events → per-type counts double."""
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    a = _read(sf_dir, "events", ["event_type"])
+    b = _read(sf_dir, "events", ["event_type"])
+    return grouped_counts(a.union(b), ["event_type"], driver_merge=True)
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per event_type (row-local bucket +
     combiner aggregate — no per-key shuffle)."""
@@ -486,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": q_tumbling_counts,
         "prev_event_gap": q_prev_event_gap,
         "session_counts": q_session_counts,
+        "distinct_types": q_distinct_types,
+        "union_counts": q_union_counts,
     }
 
 
@@ -592,4 +610,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR "
             "gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
             "FROM g GROUP BY user_id",
+        "distinct_types":
+            "SELECT DISTINCT event_type FROM events",
+        "union_counts":
+            "SELECT event_type, COUNT(*) AS n FROM "
+            "(SELECT event_type FROM events UNION ALL "
+            "SELECT event_type FROM events) GROUP BY event_type",
     }

@@ -120,7 +120,8 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "translate_iterate_values", "route_counts",
                  "agg_value_by_type", "parse_extract", "dedup_exact",
                  "token_count", "langid", "fingerprint", "simhash",
-                 "ann_topk", "sort_limit"]:
+                 "ann_topk", "sort_limit", "tumbling_counts",
+                 "session_counts", "events_pipeline"]:
         fn = em.queries()[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
