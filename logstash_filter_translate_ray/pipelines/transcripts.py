@@ -211,10 +211,14 @@ def run_resumable(input_path: "str | list[str]", out_dir: str,
         tmp = store.begin_shard(shard_id)
         ds = build_enriched_dataset(read_transcripts(files), cfg)
         write_routed(ds, tmp)
-        written = rd.read_parquet(tmp)
-        routes = sink_counts(written)
-        matched = matched_counts(written, "status_matched")
-        rows_out = int(routes["n"].sum())
+        # ONE read pass over the written shard: the joint (route, matched)
+        # count yields both manifest metrics as marginals
+        from ..stages.aggregate import grouped_counts
+        joint = grouped_counts(rd.read_parquet(tmp),
+                               ["route", "status_matched"], driver_merge=True)
+        routes = joint.groupby("route", as_index=False)["n"].sum()
+        matched = joint.groupby("status_matched", as_index=False)["n"].sum()
+        rows_out = int(joint["n"].sum())
         rows_in = sum(pq.read_metadata(f).num_rows for f in files)
         final = store.finish_shard(shard_id)
         store.commit(ShardManifest(
