@@ -75,10 +75,18 @@ def make_translate_batch_fn(cfg: TranslateConfig, snap_ref: "ray.ObjectRef | Dic
     once on the driver (``ray.put``) so N thousand tasks share one plasma
     copy per node instead of re-shipping the dict per task.
     """
+    memo: dict[str, "DictSnapshot"] = {}
+
     def _fn(batch: pa.Table) -> pa.Table:
         snap = snap_ref
         if isinstance(snap, ray.ObjectRef):
-            snap = ray.get(snap)
+            # memoize per worker: ray.get re-deserializes the snapshot per
+            # call, which would discard its lazily-compiled lookup caches
+            # (key arrays, compiled regex groups) between blocks
+            snap = memo.get("s")
+            if snap is None:
+                snap = ray.get(snap_ref)
+                memo["s"] = snap
         return safe_translate_batch(batch, cfg, snap, matched_col,
                                     error_isolation)
     return _fn
