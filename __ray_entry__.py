@@ -341,6 +341,29 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate cosine top-k (rows-only: approximate)."""
+    from logstash_filter_translate_ray.functions.similarity import ivf_topk
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, qv, k=10, n_cells=16, n_probe=4)[["vec_id"]]
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprints per document (rows-only: not SQL-expressible)."""
+    from logstash_filter_translate_ray.functions.text import winnow_dataset
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_dataset(ds)
+
+    def first8(t: pa.Table) -> pa.Table:
+        fps = [v[:8] for v in t["fingerprints"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp8": pa.array(fps, type=pa.list_(pa.int64()))})
+    return out.map_batches(first8, batch_format="pyarrow", batch_size=None)
+
+
 def q_distinct_types(sf_dir: str):
     """Set op: distinct values of a column (Ray unique — a shuffle op)."""
     import ray.data as rd
@@ -504,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": q_session_counts,
         "distinct_types": q_distinct_types,
         "union_counts": q_union_counts,
+        "ivf_topk": q_ivf_topk,
+        "winnow": q_winnow,
     }
 
 

@@ -130,6 +130,59 @@ class LshIndexStage:
         return tbl.append_column("lsh_bucket", pa.array(sig))
 
 
+def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
+                        iters: int = 10, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side k-means on a seeded sample → IVF coarse centroids.
+
+    The sample (≤ sample_n rows) is the only data pulled to the driver;
+    Lloyd iterations are numpy matmuls. Deterministic (seeded init, no
+    wall-clock)."""
+    sample = ds.limit(sample_n).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (one matmul per batch against the broadcast centroids), search
+    only the ``n_probe`` cells nearest the query. The scale path for ANN:
+    candidate set shrinks ~n_cells/n_probe-fold; centroids build once."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    qn = _normalize(q)
+    cent = build_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    probe_cells = set(np.argsort(-(qn @ cent.T))[0][:n_probe].tolist())
+    probe_ref = ray.put(probe_cells)
+
+    def keep_probed(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        cells = ray.get(probe_ref)
+        m = _normalize(_batch_matrix(tbl, vec_col).astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)
+        mask = pa.array(np.isin(assign, list(cells)))
+        return tbl.filter(mask)
+
+    cand = ds.map_batches(keep_probed, batch_format="pyarrow",
+                          batch_size=None)
+    return brute_force_topk(cand, q, k, vec_col, id_col)
+
+
 def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
              n_planes: int = 8, seed: int = 42, probe_hamming1: bool = True,
              vec_col: str = "embedding", id_col: str = "vec_id",

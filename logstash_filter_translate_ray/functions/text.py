@@ -120,7 +120,56 @@ def langid_dataset(ds, col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
-# document fingerprint (rolling hash)
+# winnowing fingerprints (rolling hash, MOSS-style)
+# ---------------------------------------------------------------------------
+
+_B = 257
+_M = (1 << 61) - 1
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing (Schleimer/Wilkerson/Aiken): k-gram Rabin-Karp rolling
+    hashes → per-window minima → fingerprint set (sorted, deduped).
+    Guarantees any shared substring of length ≥ w+k-1 yields a shared
+    fingerprint. Rolling update is O(1) per character."""
+    n = len(text)
+    if n < k:
+        return [_rk_hash(text)] if text else []
+    hashes = np.empty(n - k + 1, dtype=np.int64)
+    h = 0
+    for c in text[:k]:
+        h = (h * _B + ord(c)) % _M
+    hashes[0] = h
+    pow_k = pow(_B, k - 1, _M)
+    for i in range(1, n - k + 1):
+        h = ((h - ord(text[i - 1]) * pow_k) * _B + ord(text[i + k - 1])) % _M
+        hashes[i] = h
+    if len(hashes) <= w:
+        return [int(hashes.min())]
+    # sliding-window minima (vectorized via stride trick)
+    from numpy.lib.stride_tricks import sliding_window_view
+    mins = sliding_window_view(hashes, w).min(axis=1)
+    return sorted(set(int(x) for x in mins))
+
+
+def _rk_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * _B + ord(c)) % _M
+    return h
+
+
+def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
+                   out: str = "fingerprints"):
+    def _fn(tbl: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprints(t or "", k, w)
+               for t in tbl[col].to_pylist()]
+        return tbl.append_column(out, pa.array(fps, type=pa.list_(pa.int64())))
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (whole-document rolling hash digest)
 # ---------------------------------------------------------------------------
 
 def fingerprint_batch(tbl: pa.Table, col: str = "text",

@@ -205,3 +205,36 @@ def test_json_fanout_sink(ray_session, tmp_path):
     write_routed(rd.from_arrow(tbl), out, file_format="json")
     parts = sorted(p for p in os.listdir(out) if p.startswith("route="))
     assert parts == ["route=a", "route=b"]
+
+
+def test_ivf_topk_contains_self_and_close_to_exact(emb_ds):
+    from logstash_filter_translate_ray.functions.similarity import (
+        brute_force_topk, ivf_topk)
+    tbl = emb_ds.to_pandas()
+    q = np.stack(tbl["embedding"].to_numpy())[0]
+    approx = ivf_topk(emb_ds, q, k=5, n_cells=8, n_probe=3)
+    exact = brute_force_topk(emb_ds, q, k=5)
+    assert int(tbl["vec_id"].iloc[0]) in approx["vec_id"].tolist()
+    # decent recall on a small table with 3/8 cells probed
+    overlap = set(approx["vec_id"]) & set(exact["vec_id"])
+    assert len(overlap) >= 2
+
+
+def test_winnow_shared_substring_guarantee(ray_session):
+    from logstash_filter_translate_ray.functions.text import winnow_fingerprints
+    k, w = 5, 4
+    a = "prefix AAA the quick brown fox jumps ZZZ suffix"
+    b = "other START the quick brown fox jumps END tail!"
+    fa = set(winnow_fingerprints(a, k, w))
+    fb = set(winnow_fingerprints(b, k, w))
+    assert fa & fb            # shared substring ≥ w+k-1 chars ⇒ shared print
+    c = "completely disjoint characters 0123456789"
+    assert not (fa & set(winnow_fingerprints(c, k, w)))
+    # deterministic
+    assert winnow_fingerprints(a, k, w) == winnow_fingerprints(a, k, w)
+
+
+def test_winnow_dataset_column(docs_ds):
+    from logstash_filter_translate_ray.functions.text import winnow_dataset
+    out = winnow_dataset(docs_ds.limit(20)).to_pandas()
+    assert out["fingerprints"].map(len).gt(0).all()

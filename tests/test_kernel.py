@@ -417,3 +417,12 @@ def test_fallback_sprintf_nested_ref():
     out = translate_table(tbl, cfg, snap).to_pylist()
     assert out[0]["t"] == "miss abc"
     assert out[1]["t"] == "miss %{[meta][code]}"   # unresolved → literal
+
+
+def test_union_keys_are_literal_escaped():
+    # Regexp.union escapes literals: "a.c" must not match "abc" (S6)
+    cfg = TranslateConfig(source="s", target="t", exact=False,
+                          dictionary={"a.c": "X"})
+    out = run_both(cfg, [{"s": "abc"}, {"s": "xa.cx"}])
+    assert out[0].get("t") is None
+    assert out[1]["t"] == "xXx"
