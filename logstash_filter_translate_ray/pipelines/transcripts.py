@@ -21,9 +21,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-import pyarrow as pa
 import pyarrow.parquet as pq
-import ray
 import ray.data as rd
 
 from ..config import TranslateConfig
@@ -159,8 +157,9 @@ def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
                  cfg: Optional[TranscriptPipelineConfig] = None,
                  ) -> dict[str, Any]:
     """Run the DAG once (non-resumable form). Returns the aggregates as
-    small pandas frames; when ``out_dir`` is given the routed rows are also
-    written as hive-partitioned parquet in the same streaming pass."""
+    small pandas frames; when ``out_dir`` is given the routed rows are
+    written as hive-partitioned parquet first and the aggregates are then
+    computed over the written files (single source of truth)."""
     cfg = cfg or TranscriptPipelineConfig()
     ds = build_enriched_dataset(read_transcripts(input_path), cfg)
     if out_dir is not None:
@@ -206,6 +205,13 @@ def run_resumable(input_path: "str | list[str]", out_dir: str,
     for i, files in enumerate(shards):
         shard_id = f"{i:05d}"
         if store.is_done(shard_id):
+            done = store.load(shard_id)
+            if done is not None and done.input_files != list(files):
+                raise RuntimeError(
+                    f"checkpoint mismatch for shard {shard_id}: manifest "
+                    f"covers {done.input_files}, run asked for {list(files)} "
+                    "— the input list or shard_files changed; use a fresh "
+                    "out_dir")
             skipped += 1
             continue
         tmp = store.begin_shard(shard_id)

@@ -252,3 +252,12 @@ def test_ecs_v8_in_place(ray_session):
     snap = DictSnapshot(cfg.dictionary)
     out = translate_row({"msg": "a"}, cfg, snap)
     assert out is True
+
+
+def test_resume_rejects_changed_inputs(ray_session, tmp_path):
+    # needs a multi-file input so regrouping actually changes shard contents
+    src = transcripts_parquet_path(20_000, seed=42)
+    out = str(tmp_path / "guard")
+    run_resumable(src, out, shard_files=1)
+    with pytest.raises(RuntimeError, match="checkpoint mismatch"):
+        run_resumable(src, out, shard_files=2)
