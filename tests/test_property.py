@@ -51,10 +51,13 @@ def test_kernel_equals_oracle_single(d, rows, strategy, fallback, override):
                  min_size=1, max_size=8),
     ),
     fallback=st.one_of(st.none(), st.just("fb")),
+    strategy=st.sampled_from(["exact", "exact_regex", "regex_union"]),
 )
-def test_kernel_equals_oracle_array_of_values(d, rows, fallback):
+def test_kernel_equals_oracle_array_of_values(d, rows, fallback, strategy):
     cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
-                          dictionary=d, fallback=fallback)
+                          dictionary=d, fallback=fallback,
+                          exact=strategy != "regex_union",
+                          regex=strategy == "exact_regex")
     run_both(cfg, [{"foo": v} for v in rows])
 
 
@@ -68,10 +71,13 @@ def test_kernel_equals_oracle_array_of_values(d, rows, fallback):
                           max_size=4), min_size=1, max_size=6),
     ),
     fallback=st.one_of(st.none(), st.just("fb")),
+    strategy=st.sampled_from(["exact", "exact_regex", "regex_union"]),
 )
-def test_kernel_equals_oracle_array_of_maps(d, rows, fallback):
+def test_kernel_equals_oracle_array_of_maps(d, rows, fallback, strategy):
     cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
-                          dictionary=d, fallback=fallback)
+                          dictionary=d, fallback=fallback,
+                          exact=strategy != "regex_union",
+                          regex=strategy == "exact_regex")
     run_both(cfg, [{"foo": v} for v in rows])
 
 
