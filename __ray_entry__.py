@@ -2,9 +2,24 @@
 
 ``entry()`` runs the flagship parse → enrich → route DAG on deterministic
 synthetic transcripts (BASELINE.json input_hint schema). ``queries()`` maps
-every implemented operator from SURVEY.md §2 onto the sf parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL where the op is
-SQL-expressible (same column names both sides).
+every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
+sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
+the op is SQL-expressible (same column names both sides).
+
+Query inventory (37; ★ = DuckDB-oracled):
+  translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
+               iterate_maps★ file_dict★(actor pool)
+  pipeline:    events_pipeline★ transcripts_pipeline route_counts★
+               matched_counts★ filter_pushdown★
+  parse:       parse_extract★ (grok multi-capture inside events_pipeline)
+  aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
+               topk_users★ sort_limit★ distinct_types★ union_counts★
+  windows:     tumbling_counts★ prev_event_gap★ session_counts★
+  dedup:       dedup_exact★ minhash_pairs simhash embedding_neardup★
+  similarity:  ann_topk★ lsh_topk ivf_topk
+  text:        token_count★ text_stats★ quality_scores langid fingerprint
+               winnow
+  multimodal:  multimodal_features
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
