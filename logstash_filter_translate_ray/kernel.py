@@ -817,6 +817,9 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
         row_of = np.repeat(np.arange(n), lens)
         flat = _as_array(flat_all.filter(pa.array(incl[row_of])))
     flat_str = coerce_source_column(flat)
+    # a nil ELEMENT is still looked up as "" (array_of_values_update.rb:38
+    # `inner.to_s` — unlike a nil scalar source, which is absent per S1)
+    flat_str = _as_array(pc.fill_null(flat_str, ""))
 
     f_matched, f_vals, f_idx = _lookup(cfg.strategy, flat_str, snap)
 

@@ -426,3 +426,17 @@ def test_union_keys_are_literal_escaped():
     out = run_both(cfg, [{"s": "abc"}, {"s": "xa.cx"}])
     assert out[0].get("t") is None
     assert out[1]["t"] == "xXx"
+
+
+def test_iterate_on_nil_element_coerced_to_empty_string():
+    """A nil list ELEMENT is looked up as "" (array_of_values_update.rb:38
+    inner.to_s), unlike a nil scalar source which is absent (S1)."""
+    cfg = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                          dictionary={"": "EMPTY", "a": "A"}, fallback="fb")
+    out = run_both(cfg, [{"foo": ["a", None, "x"]}])
+    assert out[0]["baz"] == ["A", "EMPTY", "fb"]
+    # regex mode: pattern matching "" matches a nil element too
+    cfg2 = TranslateConfig(iterate_on="foo", source="foo", target="baz",
+                           regex=True, dictionary={"^$": "BLANK"})
+    out2 = run_both(cfg2, [{"foo": [None, "x"]}])
+    assert out2[0]["baz"] == ["BLANK", None]
