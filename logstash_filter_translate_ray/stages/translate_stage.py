@@ -167,7 +167,10 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
                                        matched_col=matched_col,
                                        service_kwargs=service_kwargs,
                                        error_isolation=error_isolation),
-            concurrency=concurrency or 4,
+            # autoscaling pool: a FIXED pool sized at the cluster's CPU
+            # count can starve the upstream read/enrich stages of slots
+            # (observed as a wedge on a 4-CPU test cluster)
+            concurrency=concurrency or (1, 4),
             **kwargs)
     snap_ref = ray.put(DictSnapshot(cfg.dictionary))
     # Strip the dictionary from the captured config: the task closure must

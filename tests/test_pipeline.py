@@ -261,3 +261,20 @@ def test_resume_rejects_changed_inputs(ray_session, tmp_path):
     run_resumable(src, out, shard_files=1)
     with pytest.raises(RuntimeError, match="checkpoint mismatch"):
         run_resumable(src, out, shard_files=2)
+
+
+def test_flagship_with_file_backed_tool_dict(ray_session, transcripts_path, tmp_path):
+    """The flagship DAG with the tool dictionary file-backed (actor pool +
+    DictionaryService) instead of inline — same results as inline."""
+    dict_path = str(tmp_path / "tools.csv")
+    with open(dict_path, "w") as f:
+        for k, v in TOOL_DICT.items():
+            f.write(f"{k},{v}\n")
+    cfg = TranscriptPipelineConfig(tool_dict_path=dict_path,
+                                   refresh_interval=-1)
+    ds = build_enriched_dataset(read_transcripts(transcripts_path), cfg)
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+    inline = build_enriched_dataset(read_transcripts(transcripts_path)) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert got["tool_label"].tolist() == inline["tool_label"].tolist()
+    assert got["route"].tolist() == inline["route"].tolist()
