@@ -130,3 +130,50 @@ def test_error_isolation_dataset_level(ray_session):
     out = translate_dataset(ds, cfg, error_isolation=True).to_pandas()
     assert ERROR_COL in out.columns
     assert out["t"].tolist() == ["X", None]
+
+
+def test_mid_run_refresh_smoke(ray_session, tmp_path):
+    """Dictionary rewritten WHILE the pipeline streams: the run completes,
+    every row is translated with either the old or the new value, and the
+    refresh is visible to a subsequent run (scheduling_spec live-reload
+    semantics; the exact switchover block is timing-dependent by design)."""
+    import threading
+    import time as _t
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages.translate_stage import translate_dataset
+    from logstash_filter_translate_ray.state import get_or_create_dictionary_service
+
+    p = str(tmp_path / "live.csv")
+    with open(p, "w") as f:
+        f.write("k,old\n")
+    cfg = TranslateConfig(source="s", target="t", dictionary_path=p,
+                          refresh_interval=0.05, fallback="miss",
+                          override=True)
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"s": ["k"] * n})).repartition(40)
+
+    def flip():
+        _t.sleep(0.3)
+        with open(p, "w") as f:
+            f.write("k,new\n")
+        os.utime(p, (os.path.getmtime(p) + 10,) * 2)
+        svc = get_or_create_dictionary_service("live-reload-test")
+        ray.get(svc.refresh.remote(force=True))
+
+    th = threading.Thread(target=flip)
+    th.start()
+    out = translate_dataset(ds, cfg, service_name="live-reload-test",
+                            concurrency=1, batch_size=500).to_pandas()
+    th.join()
+    vals = set(out["t"])
+    assert len(out) == n
+    assert vals <= {"old", "new"}          # never miss, never corrupt
+    # the new value must be visible to a fresh pass
+    out2 = translate_dataset(rd.from_arrow(pa.table({"s": ["k"]})), cfg,
+                             service_name="live-reload-test",
+                             concurrency=1).to_pandas()
+    assert out2["t"].tolist() == ["new"]
