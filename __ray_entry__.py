@@ -592,8 +592,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) "
             "AS k_value FROM events",
         "agg_value_by_type":
-            "SELECT event_type, SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
-            "FROM events GROUP BY event_type",
+            "SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents FROM events GROUP BY event_type",
         "sort_limit":
             "SELECT event_id, value FROM events ORDER BY value DESC LIMIT 10",
         "dedup_exact":

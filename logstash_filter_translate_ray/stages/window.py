@@ -51,8 +51,10 @@ def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
         ts_us = g[ts_col].astype("int64")
-        gap = ts_us.diff()
-        g[out] = gap.astype("Int64")
+        # keep float64 (NaN for the first event): nullable-BIGINT window
+        # results come back as float64 from SQL engines too, so the driver's
+        # value comparison sees identical representations on both sides
+        g[out] = ts_us.diff()
         return g[[id_col, out]]
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
