@@ -25,14 +25,11 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Strict canonical form: every column stringified (the driver's
+    value-hash is representation-sensitive, so the test is too)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-        elif df[c].dtype == bool or str(df[c].dtype) == "boolean":
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
