@@ -479,6 +479,42 @@ def q_events_pipeline(sf_dir: str):
     return sink_counts(ds, by=["label"])
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Unigram-set Jaccard near-dup pairs (≥0.9, id_a < id_b) — the
+    SQL-checkable member of the n-gram-Jaccard family (word sets are
+    list-algebra-expressible in SQL; k>1 shingles aren't)."""
+    import re as _re
+    import ray
+    tok = _re.compile(r"\S+")
+
+    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    sets = {i: frozenset(tok.findall(t or ""))
+            for i, t in zip(full["doc_id"].to_pylist(),
+                            full["text"].to_pylist())}
+    ref = ray.put(sets)
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        all_sets = ray.get(ref)
+        ia, ib = [], []
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            a = frozenset(tok.findall(t or ""))
+            for j, b in all_sets.items():
+                if i < j:
+                    inter = len(a & b)
+                    union = len(a | b)
+                    if union and inter / union >= 0.9:
+                        ia.append(i)
+                        ib.append(j)
+        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
+                         "id_b": pa.array(ib, type=pa.int64())})
+
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a < id_b)."""
     from logstash_filter_translate_ray.functions.similarity import (
@@ -544,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_counts": q_union_counts,
         "ivf_topk": q_ivf_topk,
         "winnow": q_winnow,
+        "jaccard_pairs": q_jaccard_pairs,
     }
 
 
@@ -652,6 +689,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM g GROUP BY user_id",
         "distinct_types":
             "SELECT DISTINCT event_type FROM events",
+        "jaccard_pairs":
+            "WITH w AS (SELECT doc_id, "
+            "list_distinct(regexp_extract_all(text, '\\S+')) AS ws "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM w a JOIN w b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9",
         "union_counts":
             "SELECT event_type, COUNT(*) AS n FROM "
             "(SELECT event_type FROM events UNION ALL "
