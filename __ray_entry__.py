@@ -487,8 +487,12 @@ def q_jaccard_pairs(sf_dir: str):
     import ray
     tok = _re.compile(r"\S+")
 
+    # bounded to doc_id < 1000 at every sf: the ORACLE's O(N²) list-algebra
+    # join is the binding cost, not the Ray side (which would LSH-block at
+    # scale — see functions/dedup.py)
     full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"]) \
+        .filter(pa.compute.less(pa.compute.field("doc_id"), 1000))
     sets = {i: frozenset(tok.findall(t or ""))
             for i, t in zip(full["doc_id"].to_pylist(),
                             full["text"].to_pylist())}
@@ -509,9 +513,11 @@ def q_jaccard_pairs(sf_dir: str):
         return pa.table({"id_a": pa.array(ia, type=pa.int64()),
                          "id_b": pa.array(ib, type=pa.int64())})
 
+    import pyarrow.compute as pc
     import ray.data as rd
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         filter=(pc.field("doc_id") < 1000))
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
 
 
@@ -692,7 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs":
             "WITH w AS (SELECT doc_id, "
             "list_distinct(regexp_extract_all(text, '\\S+')) AS ws "
-            "FROM documents) "
+            "FROM documents WHERE doc_id < 1000) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM w a JOIN w b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
