@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (37; ★ = DuckDB-oracled):
+Query inventory (38; ★ = DuckDB-oracled):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
   pipeline:    events_pipeline★ transcripts_pipeline route_counts★
@@ -16,6 +16,7 @@ Query inventory (37; ★ = DuckDB-oracled):
                topk_users★ sort_limit★ distinct_types★ union_counts★
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
   dedup:       dedup_exact★ minhash_pairs simhash embedding_neardup★
+               jaccard_pairs★
   similarity:  ann_topk★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores langid fingerprint
                winnow
