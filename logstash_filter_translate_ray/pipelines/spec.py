@@ -1,0 +1,127 @@
+"""Declarative pipeline spec — the migration path for a Logstash user.
+
+A Logstash pipeline using the translate filter looks like:
+
+    input  { ... }
+    filter { translate { source => "status" target => "label"
+                         dictionary_path => "/etc/dict.csv" fallback => "?" } }
+    output { ... }
+
+This module accepts the same information as a YAML/JSON/dict spec and builds
+the equivalent Ray Data pipeline:
+
+    input:
+      path: /data/transcripts/        # parquet dir/file(s)
+      format: parquet                 # parquet | csv | json
+    filters:
+      - translate:
+          source: tool
+          target: tool_label
+          dictionary: {search: Web Search}     # or dictionary_path: ...
+          fallback: none
+      - grok:
+          source: text
+          pattern: '(?P<status>\\b[1-5][0-9]{2}\\b)'
+    route:
+      key: role
+      routes: {user: user_turns, assistant: assistant_turns}
+      default: other
+    output:
+      path: /out/routed
+      format: parquet                 # parquet | json
+
+Every ``translate`` block takes the FULL option surface of
+:class:`~..config.TranslateConfig` (field/destination aliases, exact/regex,
+iterate_on, refresh_*, yaml_* — validation errors match the plugin's).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import ray.data as rd
+
+from ..config import TranslateConfig
+from ..errors import ConfigurationError
+from ..stages.parse import ExtractRule, GrokRule, ParseConfig, parse_dataset
+from ..stages.route import route_dataset, write_routed
+from ..stages.translate_stage import translate_dataset
+
+
+def load_spec(path_or_dict: "str | dict") -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    with open(path_or_dict) as f:
+        text = f.read()
+    if path_or_dict.endswith(".json"):
+        import json
+        return json.loads(text)
+    import yaml
+    return yaml.safe_load(text)
+
+
+def build_from_spec(spec: "str | dict") -> "rd.Dataset":
+    """Spec → lazy Dataset (input → filters → route)."""
+    s = load_spec(spec)
+    inp = s.get("input")
+    if not inp or "path" not in inp:
+        raise ConfigurationError("spec requires input.path")
+    fmt = inp.get("format", "parquet")
+    if fmt == "parquet":
+        kw = {}
+        if inp.get("columns"):
+            kw["columns"] = list(inp["columns"])
+        ds = rd.read_parquet(inp["path"], **kw)
+    elif fmt == "csv":
+        ds = rd.read_csv(inp["path"])
+    elif fmt == "json":
+        ds = rd.read_json(inp["path"])
+    else:
+        raise ConfigurationError(f"unknown input format {fmt!r}")
+
+    for i, blk in enumerate(s.get("filters", [])):
+        if len(blk) != 1:
+            raise ConfigurationError(
+                f"filter #{i} must have exactly one key, got {list(blk)}")
+        kind, opts = next(iter(blk.items()))
+        if kind == "translate":
+            cfg = TranslateConfig(**opts)
+            ds = translate_dataset(ds, cfg,
+                                   matched_col=opts.get("matched_col"))
+        elif kind == "grok":
+            rule = GrokRule(source=opts["source"], pattern=opts["pattern"],
+                            casts=tuple((k, v) for k, v in
+                                        opts.get("casts", {}).items()))
+            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
+        elif kind == "extract":
+            rule = ExtractRule(out=opts["out"], source=opts["source"],
+                               pattern=opts["pattern"],
+                               cast=opts.get("cast"))
+            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
+        else:
+            raise ConfigurationError(f"unknown filter kind {kind!r}")
+
+    if "route" in s:
+        r = s["route"]
+        ds = route_dataset(ds, dict(r["routes"]), key=r.get("key", "role"),
+                           default_route=r.get("default", "other"))
+    return ds
+
+
+def run_spec(spec: "str | dict") -> "Optional[rd.Dataset]":
+    """Build and, if the spec has an output, execute the sink. Returns the
+    Dataset when there is no output block (caller consumes it)."""
+    s = load_spec(spec)
+    ds = build_from_spec(s)
+    out = s.get("output")
+    if not out:
+        return ds
+    if "path" not in out:
+        raise ConfigurationError("output requires path")
+    if "route" in s:
+        write_routed(ds, out["path"],
+                     route_col=s.get("route", {}).get("route_col", "route"),
+                     file_format=out.get("format", "parquet"))
+    else:
+        ds.write_parquet(out["path"])
+    return None

@@ -278,3 +278,48 @@ def test_flagship_with_file_backed_tool_dict(ray_session, transcripts_path, tmp_
         .to_pandas().sort_values(["conv_id", "turn_idx"])
     assert got["tool_label"].tolist() == inline["tool_label"].tolist()
     assert got["route"].tolist() == inline["route"].tolist()
+
+
+def test_declarative_spec_pipeline(ray_session, transcripts_path, tmp_path):
+    """Logstash-migration path: a YAML spec builds + runs the same DAG."""
+    import os
+    import yaml
+    from logstash_filter_translate_ray.pipelines.spec import (build_from_spec,
+                                                              run_spec)
+    src_file = sorted(os.listdir(transcripts_path))[0]
+    spec = {
+        "input": {"path": transcripts_path, "format": "parquet",
+                  "columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts"]},
+        "filters": [
+            {"grok": {"source": "text",
+                      "pattern": r"(?P<status>\b[1-5][0-9]{2}\b)"}},
+            {"translate": {"source": "status", "target": "status_class",
+                           "regex": True, "dictionary": STATUS_REGEX_DICT,
+                           "fallback": "unknown", "override": True}},
+            {"translate": {"source": "tool", "target": "tool_label",
+                           "dictionary": TOOL_DICT, "fallback": "no tool",
+                           "override": True}},
+        ],
+        "route": {"key": "role", "routes": ROLE_ROUTES, "default": "other"},
+        "output": {"path": str(tmp_path / "out"), "format": "parquet"},
+    }
+    # YAML round-trip to prove file-based specs work
+    spec_path = str(tmp_path / "pipeline.yml")
+    with open(spec_path, "w") as f:
+        yaml.safe_dump(spec, f)
+
+    ds = build_from_spec(spec_path)
+    got = ds.to_pandas()
+    assert len(got) == N_TURNS
+    assert {"status_class", "tool_label", "route"} <= set(got.columns)
+
+    run_spec(spec_path)
+    parts = sorted(p for p in os.listdir(str(tmp_path / "out"))
+                   if p.startswith("route="))
+    assert len(parts) == 4
+
+    # config validation errors surface with plugin semantics
+    bad = dict(spec)
+    bad["filters"] = [{"translate": {"dictionary": {"a": "b"}}}]
+    with pytest.raises(Exception, match="source"):
+        build_from_spec(bad)
