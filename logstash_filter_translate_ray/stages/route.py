@@ -20,11 +20,14 @@ from ..kernel import DictSnapshot, translate_table
 
 def route_dataset(ds: "ray.data.Dataset", routes: dict[str, str], *,
                   key: str = "role", route_col: str = "route",
-                  default_route: str = "other") -> "ray.data.Dataset":
-    """Add a ``route`` column from a route-key dictionary (broadcast)."""
+                  default_route: str = "other",
+                  regex: bool = False) -> "ray.data.Dataset":
+    """Add a ``route`` column from a route-key dictionary (broadcast).
+    ``regex=True`` routes by ordered regex patterns over the key column
+    (first match wins — the exact_regex strategy)."""
     cfg = TranslateConfig(source=key, target=route_col,
                           dictionary=dict(routes), fallback=default_route,
-                          override=True)
+                          override=True, regex=regex)
     snap_ref = ray.put(DictSnapshot(cfg.dictionary))
 
     def _fn(batch: pa.Table) -> pa.Table:

@@ -323,3 +323,15 @@ def test_declarative_spec_pipeline(ray_session, transcripts_path, tmp_path):
     bad["filters"] = [{"translate": {"dictionary": {"a": "b"}}}]
     with pytest.raises(Exception, match="source"):
         build_from_spec(bad)
+
+
+def test_regex_route_dataset(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.route import route_dataset
+    ds = rd.from_arrow(pa.table({"path": ["/api/v1/users", "/static/app.js",
+                                          "/healthz", "/other"]}))
+    out = route_dataset(ds, {"^/api/": "api", r"\.js$": "assets",
+                             "^/health": "ops"},
+                        key="path", default_route="web",
+                        regex=True).to_pandas()
+    assert out["route"].tolist() == ["api", "assets", "ops", "web"]
