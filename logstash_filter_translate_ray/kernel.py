@@ -490,7 +490,6 @@ def lookup_regex_union(src: pa.Array, snap: DictSnapshot,
     src_np = src.to_numpy(zero_copy_only=False)
     out = np.full(n, None, dtype=object)
     m = snap.map
-    values_str = snap.values_str  # noqa: F841 (kept warm for the lambda's dict)
     sub = pat.sub
     for i in np.nonzero(todo)[0]:
         s = src_np[i]
@@ -862,7 +861,6 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
 def _merge_into_target_list(tbl: pa.Table, target: str, write_mask: np.ndarray,
                             new_lists: pa.Array) -> pa.Table:
     """List-typed variant of _merge_into_target (pc.if_else lacks list support)."""
-    n = len(tbl)
     if target in tbl.column_names and not write_mask.all():
         existing = _as_array(tbl[target])
         # slow-path splice (rare: list target + partial write)
