@@ -345,7 +345,10 @@ def _row_array_of_maps(event: dict, cfg: TranslateConfig, snap: DictSnapshot) ->
         elif cfg.fallback is not None:
             event_set(elem, cfg.target, sprintf_row(cfg.fallback, event))
             matches[i] = True
-    return any(matches)
+    # translate.rb:267 `@updater.update(event) || @source == @target`: with
+    # source == target an included event fires filter_matched even when no
+    # element was written.
+    return any(matches) or cfg.in_place
 
 
 # --------------------------------------------------------------------------
@@ -752,12 +755,17 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
         fb_arr = sprintf_column(cfg.fallback, tbl)
         fb_np = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
 
+    # Only unify value/fallback types when some included row actually MISSES:
+    # translate.rb writes the typed dict value on a hit regardless of whether
+    # a fallback is configured, so casting all hits to string when nothing
+    # needs the fallback would diverge from the reference (and the row oracle).
+    fb_needed = cfg.fallback is not None and bool((incl & ~matched).any())
     if vals is None:
         if fb_static:
             fb_np = np.full(n, cfg.fallback, dtype=object)
         new_vals = _materialize_values(matched, idx, snap, fb_np)
         write_mask = incl if cfg.fallback is not None else matched
-    elif cfg.fallback is not None:
+    elif fb_needed:
         if not pa.types.is_string(vals.type) and not pa.types.is_null(vals.type):
             vals = _as_array(_cast_to_string(vals))
         if pa.types.is_null(vals.type):
@@ -828,9 +836,12 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
         fb_row = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
         fb_flat = _repeat_by(fb_row, eff_lens)
 
+    # Same typed-hit rule as _table_single: only unify with the fallback's
+    # string type when some element actually misses.
+    fb_needed = fb_flat is not None and not bool(f_matched.all())
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat)
-    elif fb_flat is not None:
+    elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))
         if pa.types.is_null(f_vals.type):
@@ -926,10 +937,11 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
 
     write_elem = f_matched | (inner_valid & (fb_flat is not None))
 
+    fb_needed = fb_flat is not None and bool((inner_valid & ~f_matched).any())
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap,
                                         fb_flat if fb_flat is not None else None)
-    elif fb_flat is not None:
+    elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))
         if pa.types.is_null(f_vals.type):
@@ -979,4 +991,6 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
         row_of = np.repeat(np.arange(n), lens)
         np.logical_or.at(row_matched, row_of, write_elem)
     row_matched &= incl
+    if cfg.in_place:  # translate.rb:267 `update(event) || @source == @target`
+        row_matched |= incl
     return _with_matched(out, matched_col, row_matched)

@@ -85,9 +85,10 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
                 f"filter #{i} must have exactly one key, got {list(blk)}")
         kind, opts = next(iter(blk.items()))
         if kind == "translate":
+            opts = dict(opts)
+            matched_col = opts.pop("matched_col", None)
             cfg = TranslateConfig(**opts)
-            ds = translate_dataset(ds, cfg,
-                                   matched_col=opts.get("matched_col"))
+            ds = translate_dataset(ds, cfg, matched_col=matched_col)
         elif kind == "grok":
             rule = GrokRule(source=opts["source"], pattern=opts["pattern"],
                             casts=tuple((k, v) for k, v in

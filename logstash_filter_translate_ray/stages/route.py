@@ -52,9 +52,9 @@ def write_routed(ds: "ray.data.Dataset", out_dir: str, *,
         # manual fan-out: each task splits its block by route and writes one
         # JSONL file per (block, route), named by content hash so task
         # RETRIES overwrite the same file (idempotent sink)
+        import hashlib
         import json as _json
         import os
-        import zlib
 
         def _write(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -66,7 +66,9 @@ def write_routed(ds: "ray.data.Dataset", out_dir: str, *,
                     _json.dumps(row, default=str) for row in rows) + "\n"
                 d = os.path.join(out_dir, f"{route_col}={r}")
                 os.makedirs(d, exist_ok=True)
-                name = f"part-{zlib.crc32(payload.encode()):08x}.jsonl"
+                # sha1 (not crc32): a 32-bit collision between two blocks'
+                # payloads in the same route would silently drop a block
+                name = f"part-{hashlib.sha1(payload.encode()).hexdigest()[:16]}.jsonl"
                 tmp = os.path.join(d, name + ".tmp")
                 with open(tmp, "w") as f:
                     f.write(payload)

@@ -44,34 +44,101 @@ def tumbling_counts(ds, keys=("event_type",), ts_col: str = "ts",
                           driver_merge=driver_merge)
 
 
-def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",
-                   id_col: str = "event_id", out: str = "gap_us"):
-    """Per-key previous-event gap (as-of/self-lag): for each row, µs since
-    the key's previous event ordered by (ts, id); null for the first."""
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        ts_us = g[ts_col].astype("int64")
-        # keep float64 (NaN for the first event): nullable-BIGINT window
-        # results come back as float64 from SQL engines too, so the driver's
-        # value comparison sees identical representations on both sides
-        g[out] = ts_us.diff()
-        return g[[id_col, out]]
+def _ts_to_epoch_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Explicit µs normalization: cast to timestamp[us] FIRST so the int64
+    epoch value is µs regardless of the column's storage unit (a bare
+    ``astype('int64')`` silently yields ns under ns-defaulting pandas
+    conversions — 1000× off vs an epoch_us oracle)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+def _bucket_by_key_hash(ds, key: str, num_buckets: int, bucket_col: str):
+    """Add a deterministic hash-bucket column so a later groupby co-locates
+    each key's rows while making only ``num_buckets`` (vectorized) group
+    calls — not one per key. `pd.util.hash_array` is a fixed-key siphash,
+    stable across processes/nodes (dictionary_encode codes are NOT)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        hb = (pd.util.hash_array(k) % num_buckets).astype(np.int64)
+        return t.append_column(bucket_col, pa.array(hb))
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def _sorted_segments(t: pa.Table, key: str, ts_col: str, id_col: str):
+    """Sort a bucket's table by (key, ts, id) and return
+    (sorted_table, epoch_us, key_boundary_mask). One vectorized pass — no
+    per-key pandas frames (the bucket may hold thousands of keys)."""
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                        (ts_col, "ascending"),
+                                        (id_col, "ascending")])
+    t = t.take(idx)
+    ts_us = _ts_to_epoch_us(t[ts_col])
+    keys_np = np.asarray(t[key].to_numpy(zero_copy_only=False))
+    boundary = np.empty(len(t), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = keys_np[1:] != keys_np[:-1]
+    return t, ts_us, boundary
+
+
+def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", out: str = "gap_us",
+                   num_buckets: int = 256):
+    """Per-key previous-event gap (as-of/self-lag): for each row, µs since
+    the key's previous event ordered by (ts, id); null for the first.
+
+    Scale shape: ONE hash shuffle on a key-hash bucket (num_buckets group
+    calls total), then a segmented np.diff inside each bucket — per-group
+    call cost is O(num_buckets), not O(distinct keys). A hot key's rows
+    still meet in one bucket (inherent: a gap needs its neighbor)."""
+    bucketed = _bucket_by_key_hash(ds, key, num_buckets, "_kb")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], type=t.schema.field(id_col).type),
+                             out: pa.array([], type=pa.float64())})
+        t, ts_us, boundary = _sorted_segments(t, key, ts_col, id_col)
+        gap = np.empty(len(t), dtype=np.float64)
+        gap[0] = np.nan
+        np.subtract(ts_us[1:], ts_us[:-1], out=gap[1:], casting="unsafe")
+        gap[boundary] = np.nan
+        # float64 with NaN→null: nullable-BIGINT window results come back as
+        # float64 from SQL engines too, so the driver sees identical values
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(gap, from_pandas=True)})
+
+    return bucketed.groupby("_kb").map_groups(per_bucket,
+                                              batch_format="pyarrow")
 
 
 def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
                    id_col: str = "event_id",
-                   gap: "pd.Timedelta | str" = "30min"):
+                   gap: "pd.Timedelta | str" = "30min",
+                   num_buckets: int = 256):
     """Inactivity-gap sessionization: a new session starts when the gap to
-    the key's previous event exceeds ``gap``; returns sessions per key."""
+    the key's previous event exceeds ``gap``; returns sessions per key.
+    Same bucketed-segmented shape as prev_event_gap (no per-key frames)."""
     gap_us = int(pd.Timedelta(gap).value // 1000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        ts_us = g[ts_col].astype("int64")
-        new_session = ts_us.diff().isna() | (ts_us.diff() > gap_us)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "n_sessions": [int(new_session.sum())]})
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key: pa.array([], type=t.schema.field(key).type),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        t, ts_us, boundary = _sorted_segments(t, key, ts_col, id_col)
+        diff = np.zeros(len(t), dtype=np.int64)
+        np.subtract(ts_us[1:], ts_us[:-1], out=diff[1:])
+        new_session = boundary | (diff > gap_us)
+        seg = np.cumsum(boundary) - 1          # dense key index in sort order
+        counts = np.bincount(seg[new_session], minlength=seg[-1] + 1)
+        kidx = pa.array(np.nonzero(boundary)[0], type=pa.int64())
+        return pa.table({key: pc.take(t[key].combine_chunks()
+                                      if isinstance(t[key], pa.ChunkedArray)
+                                      else t[key], kidx),
+                         "n_sessions": pa.array(counts, type=pa.int64())})
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    bucketed = _bucket_by_key_hash(ds, key, num_buckets, "_kb")
+    return bucketed.groupby("_kb").map_groups(per_bucket,
+                                              batch_format="pyarrow")

@@ -440,3 +440,60 @@ def test_iterate_on_nil_element_coerced_to_empty_string():
                            regex=True, dictionary={"^$": "BLANK"})
     out2 = run_both(cfg2, [{"foo": [None, "x"]}])
     assert out2[0]["baz"] == ["BLANK", None]
+
+
+# --------------------------------------------------------------------------
+# Round-2 ADVICE regressions: typed dict values + fallback, array_of_maps
+# in-place matched flag (translate.rb:267)
+# --------------------------------------------------------------------------
+
+def test_typed_values_fallback_no_miss_keeps_type():
+    """dict {'a': 100} + fallback: when NO included row misses, the typed
+    value 100 must be written (not '100') — the fallback's string type only
+    infects a batch that actually needs a fallback write."""
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": 100, "b": 200}, fallback="fb")
+    out = run_both(cfg, [{"s": "a"}, {"s": "b"}, {"s": None}])
+    assert out[0]["t"] == 100 and out[1]["t"] == 200
+
+
+def test_typed_values_fallback_with_miss_unifies_to_string():
+    """Documented columnar deviation: a batch that actually needs the string
+    fallback unifies that batch's written values to string (an Arrow column
+    is single-typed; the reference writes heterogeneous values per event)."""
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": 100}, fallback="fb")
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({"s": ["a", "zzz"]})
+    out = translate_table(tbl, cfg, snap)
+    assert out["t"].to_pylist() == ["100", "fb"]
+
+
+def test_typed_values_fallback_no_miss_iterate_values():
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                          dictionary={"a": 7, "b": 9}, fallback="fb")
+    out = run_both(cfg, [{"foo": ["a", "b"]}, {"foo": ["b"]}])
+    assert out[0]["baz"] == [7, 9] and out[1]["baz"] == [9]
+
+
+def test_typed_values_fallback_no_miss_iterate_maps():
+    cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
+                          dictionary={"a": 7}, fallback="fb")
+    out = run_both(cfg, [{"foo": [{"bar": "a"}, {"bar": None}]}])
+    assert out[0]["foo"][0]["baz"] == 7
+
+
+def test_array_of_maps_in_place_matched_without_writes():
+    """translate.rb:267 `update(event) || @source == @target`: with
+    iterate_on set and source == target, an included event with ZERO written
+    elements still fires filter_matched."""
+    cfg = TranslateConfig(source="bar", target="bar", iterate_on="foo",
+                          dictionary={"x": "y"})
+    snap = DictSnapshot(cfg.dictionary)
+    rows = [{"foo": [{"bar": "nomatch"}]}, {"foo": None}]
+    out = run_both(cfg, rows)
+    tbl = pa.table({"foo": pa.array([r["foo"] for r in rows],
+                                    type=pa.list_(pa.struct([("bar", pa.string())])))})
+    res = translate_table(tbl, cfg, snap).to_pylist()
+    assert res[0]["translate_matched"] is True      # included, in-place
+    assert res[1]["translate_matched"] is False     # iterate_on absent

@@ -81,6 +81,66 @@ def test_kernel_equals_oracle_array_of_maps(d, rows, fallback, strategy):
     run_both(cfg, [{"foo": v} for v in rows])
 
 
+# Non-string dictionary VALUES (int/bool): with no fallback the kernel must
+# write the typed value exactly; a fallback only unifies the batch to string
+# when some included row actually misses (test_kernel pins that case), so
+# here we fuzz typed values both without a fallback and with one over rows
+# drawn only from the key set (all-hit ⇒ typed equality must hold).
+# one value type per dictionary (heterogeneous values hit the documented
+# columnar must-unify constraint, which is its own test)
+typed_dicts = st.one_of(
+    st.dictionaries(keys, st.integers(min_value=-1000, max_value=10_000),
+                    min_size=1, max_size=8),
+    st.dictionaries(keys, st.booleans(), min_size=1, max_size=8),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    d=typed_dicts,
+    rows=source_cols,
+    strategy=st.sampled_from(["exact", "exact_regex", "regex_union"]),
+    override=st.booleans(),
+)
+def test_kernel_equals_oracle_typed_values(d, rows, strategy, override):
+    cfg = TranslateConfig(
+        source="s", target="t", dictionary=d, fallback=None,
+        override=override,
+        exact=strategy != "regex_union", regex=strategy == "exact_regex")
+    run_both(cfg, [{"s": v} for v in rows])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    d=st.dictionaries(keys, st.integers(min_value=0, max_value=9999),
+                      min_size=1, max_size=8),
+    data=st.data(),
+    shape=st.sampled_from(["single", "array_of_values", "array_of_maps"]),
+)
+def test_kernel_typed_values_fallback_all_hit(d, data, shape):
+    """Rows drawn from the key set: fallback configured but never needed →
+    typed values survive in every shape (the ADVICE medium regression)."""
+    ks = sorted(d)
+    if shape == "single":
+        cfg = TranslateConfig(source="s", target="t", dictionary=d,
+                              fallback="fb")
+        rows = [{"s": k} for k in
+                data.draw(st.lists(st.sampled_from(ks), min_size=1, max_size=8))]
+    elif shape == "array_of_values":
+        cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                              dictionary=d, fallback="fb")
+        rows = [{"foo": v} for v in data.draw(st.lists(
+            st.lists(st.sampled_from(ks), min_size=1, max_size=4),
+            min_size=1, max_size=6))]
+    else:
+        cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
+                              dictionary=d, fallback="fb")
+        rows = [{"foo": [{"bar": k} for k in v]} for v in data.draw(st.lists(
+            st.lists(st.sampled_from(ks), min_size=1, max_size=4),
+            min_size=1, max_size=6))]
+    run_both(cfg, rows)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     d=st.dictionaries(keys, str_values, min_size=1, max_size=6),
