@@ -481,45 +481,27 @@ def q_events_pipeline(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """Unigram-set Jaccard near-dup pairs (≥0.9, id_a < id_b) — the
-    SQL-checkable member of the n-gram-Jaccard family (word sets are
-    list-algebra-expressible in SQL; k>1 shingles aren't)."""
-    import re as _re
-    import ray
-    tok = _re.compile(r"\S+")
+    """Unigram-set Jaccard near-dup pairs (≥0.9, id_a < id_b) through the
+    SCALE pipeline: shared-shingle blocking → hash-bucketed in-group pair
+    generation → distributed join-attached exact-Jaccard verify
+    (functions/dedup.py). k=1 shingles = word sets, so the result is
+    SQL-checkable (k>1 shingles aren't list-algebra-expressible).
 
-    # bounded to doc_id < 1000 at every sf: the ORACLE's O(N²) list-algebra
-    # join is the binding cost, not the Ray side (which would LSH-block at
-    # scale — see functions/dedup.py)
-    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"]) \
-        .filter(pa.compute.less(pa.compute.field("doc_id"), 1000))
-    sets = {i: frozenset(tok.findall(t or ""))
-            for i, t in zip(full["doc_id"].to_pylist(),
-                            full["text"].to_pylist())}
-    ref = ray.put(sets)
-
-    def pairs(tbl: pa.Table) -> pa.Table:
-        all_sets = ray.get(ref)
-        ia, ib = [], []
-        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-            a = frozenset(tok.findall(t or ""))
-            for j, b in all_sets.items():
-                if i < j:
-                    inter = len(a & b)
-                    union = len(a | b)
-                    if union and inter / union >= 0.9:
-                        ia.append(i)
-                        ib.append(j)
-        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
-                         "id_b": pa.array(ib, type=pa.int64())})
-
+    Bounded to doc_id < 1000 at every sf because the ORACLE's O(N²)
+    list-algebra join is the binding cost. sample_mod=1 + hot_cap=None make
+    candidate recall exact on this bounded input (every shared word blocks;
+    J ≥ 0.9 ⇒ ≥1 shared word); word hashing is a fixed-key 64-bit siphash,
+    so hash-set Jaccard equals word-set Jaccard (collisions negligible)."""
     import pyarrow.compute as pc
     import ray.data as rd
+    from logstash_filter_translate_ray.functions.dedup import (
+        ngram_jaccard_pairs)
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
                          filter=(pc.field("doc_id") < 1000))
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    out = ngram_jaccard_pairs(ds, k=1, threshold=0.9, sample_mod=1,
+                              hot_cap=None, concurrency=2)
+    return out[["id_a", "id_b"]]
 
 
 def q_embedding_neardup(sf_dir: str):

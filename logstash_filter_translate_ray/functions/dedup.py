@@ -2,29 +2,121 @@
 
 - exact:   content-hash → hash-partitioned groupby → per-group first
 - minhash: shingle → minhash signature → banded LSH buckets → candidate
-           pairs → Jaccard verify → connected components
+           pairs → DISTRIBUTED Jaccard verify → connected components
 - simhash: 64-bit simhash, banded for hamming-distance blocking
 - ngram_jaccard: shared-shingle candidate generation + exact Jaccard verify
 
-Scale notes (SURVEY 'Aggregation at scale' pattern): signatures are computed
-embarrassingly-parallel in ``map_batches``; the only shuffles are groupbys
-on (band_id, band_hash) whose cardinality ≈ docs × bands but whose rows are
-tiny (three ints). Candidate-pair verification happens inside the bucket
-groups. Connected components run on the driver over candidate PAIRS only —
-valid while duplicate clusters are sparse (the common case); the docstring
-of :func:`connected_components` states the assumption.
+Scale shape (SURVEY 'Aggregation at scale'): signatures are computed
+embarrassingly-parallel in ``map_batches`` with batch-wide vectorized
+shingling (one ``pd.util.hash_array`` per batch, one chunked ``(P × S)``
+modmul + ``minimum.reduceat`` per block — no per-doc Python hashing). The
+shuffles are
+
+1. a groupby on a HASH-BUCKETED band key — a bounded number of vectorized
+   group calls (``num_groups``), not one scheduling unit per LSH bucket;
+2. a distinct-pairs native hash aggregate (no per-group callbacks);
+3. two hash JOINS (``Dataset.join``) that attach each candidate doc's
+   shingle-set blob to its pairs, so the exact-Jaccard verify runs inside
+   ``map_batches`` over the joined pairs.
+
+No whole-dataset ``to_pandas()`` / driver text dict anywhere. Connected
+components still run on the driver over the VERIFIED pair list only — valid
+while duplicate clusters are sparse (the common case; swap for min-label
+propagation when verified pairs outgrow the driver).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Iterable, Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 / golden-ratio odd
+# one odd 64-bit multiplier per k-gram position (order-sensitive combine)
+_KGRAM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                        0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                        0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+                        0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+                       dtype=np.uint64)
+_EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # stands in for "" (no words)
+
+
+def _hash_words_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """All words of all docs hashed in ONE deterministic ``hash_array`` call
+    (fixed-key siphash — stable across processes/nodes).
+    Returns (word_hashes uint64, word_ptr int64[n+1])."""
+    toks = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                         count=len(toks))
+    total = int(counts.sum())
+    allw = np.empty(total, dtype=object)
+    pos = 0
+    for x in toks:
+        allw[pos:pos + len(x)] = x
+        pos += len(x)
+    wh = pd.util.hash_array(allw) if total else np.empty(0, np.uint64)
+    ptr = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    return wh, ptr
+
+
+def shingle_hashes_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes for a whole batch, vectorized: hash every word
+    once, then combine k consecutive word hashes with per-position odd
+    multipliers (uint64 wrap). Docs with < k words contribute ONE shingle
+    combining all their words ('' → a fixed constant) — same edge semantics
+    as the reference-style per-doc shingler.
+    Returns (shingles uint64 concat, shingle_ptr int64[n+1])."""
+    n = len(texts)
+    wh, wptr = _hash_words_batch(texts)
+    counts = np.diff(wptr)
+    total = int(counts.sum())
+    sh_counts = np.maximum(counts - k + 1, 1)
+    sh_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_ptr[1:])
+    sh = np.empty(int(sh_counts.sum()), dtype=np.uint64)
+    big = counts >= k
+    if big.any():
+        # global vectorized combine: acc[p] = Σ_j MULT[j] * wh[p+j]; a start
+        # position p is valid iff p and p+k-1 fall in the same doc — in doc
+        # order those valid positions ARE the big docs' shingles.
+        m = total - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc += wh[j:m + j] * _KGRAM_MULT[j]
+        doc_of = np.repeat(np.arange(n), counts)
+        valid = doc_of[:m] == doc_of[k - 1:]
+        slot_doc = np.repeat(np.arange(n), sh_counts)
+        sh[big[slot_doc]] = acc[valid]
+    if not big.all():
+        small = np.nonzero(~big)[0]
+        vals = np.zeros(len(small), dtype=np.uint64)
+        for j in range(k - 1):
+            has = counts[small] > j
+            if has.any():
+                vals[has] += wh[wptr[small[has]] + j] * _KGRAM_MULT[j]
+        vals[counts[small] == 0] = _EMPTY_SHINGLE
+        sh[sh_ptr[small]] = vals
+    return sh, sh_ptr
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Single-doc convenience wrapper over :func:`shingle_hashes_batch`."""
+    sh, _ = shingle_hashes_batch([text], k)
+    return sh
+
+
+def _group_of(bucket: np.ndarray, num_groups: int) -> np.ndarray:
+    """Deterministic bucket→group assignment (avalanched so low-entropy
+    bucket ids still spread)."""
+    b = bucket.astype(np.uint64, copy=False)
+    return (((b * _HASH_MIX) >> np.uint64(33)) %
+            np.uint64(num_groups)).astype(np.int64)
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -53,10 +145,11 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
-# shingles + minhash
+# minhash signatures (batched: chunked (P × S) modmul + segmented min)
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_SIG_CHUNK_SHINGLES = 250_000     # bounds the (num_perm × chunk) temp array
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -66,30 +159,32 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles → uint64 hashes (crc32 pairs, deterministic)."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        e = s.encode()
-        out[i] = (zlib.crc32(e) << 32) | zlib.crc32(e[::-1])
-    return out
-
-
-def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod p universal-hash minima — one numpy matmul-shaped op
-    per doc, no Python per shingle."""
-    x = sh.astype(np.int64)[None, :]            # 1 × S
-    hv = (a[:, None] * x + b[:, None]) % _MERSENNE   # P × S
-    return hv.min(axis=1)
+def minhash_signatures_batch(sh: np.ndarray, sh_ptr: np.ndarray,
+                             a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs × num_perm) signature matrix from concatenated shingles: one
+    (P × S_chunk) modmul + ``np.minimum.reduceat`` per doc-aligned chunk —
+    no per-doc Python. Chunking bounds peak memory to
+    ``num_perm × _SIG_CHUNK_SHINGLES × 8`` bytes."""
+    n = len(sh_ptr) - 1
+    sigs = np.empty((n, len(a)), dtype=np.int64)
+    d0 = 0
+    while d0 < n:
+        d1 = d0 + 1
+        while d1 < n and sh_ptr[d1 + 1] - sh_ptr[d0] <= _SIG_CHUNK_SHINGLES:
+            d1 += 1
+        x = sh[sh_ptr[d0]:sh_ptr[d1]].astype(np.int64)
+        hv = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE   # P × s
+        rel = (sh_ptr[d0:d1] - sh_ptr[d0]).astype(np.int64)
+        sigs[d0:d1] = np.minimum.reduceat(hv, rel, axis=1).T
+        d0 = d1
+    return sigs
 
 
 class MinHashStage:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Actor-pool stage: permutation params built once per actor; each batch
+    → (id, bucket) rows, ``bands`` per doc, fully vectorized (band hashes
+    are a positional-multiplier mix of the signature segment — no per-doc
+    crc32)."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id",
                  k: int = 3, num_perm: int = 64, bands: int = 16, seed: int = 42):
@@ -98,51 +193,165 @@ class MinHashStage:
         self.k, self.num_perm, self.bands = k, num_perm, bands
         self.rows_per_band = num_perm // bands
         self.a, self.b = _perm_params(num_perm, seed)
+        rng = np.random.RandomState(seed + 1)
+        self.band_mult = rng.randint(1, 2**63 - 1,
+                                     size=self.rows_per_band).astype(np.uint64) | np.uint64(1)
+        self.band_salt = (np.arange(bands, dtype=np.uint64) * _HASH_MIX)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        """doc → (bands) rows of (id, band_id, band_hash)."""
         texts = tbl[self.col].to_pylist()
-        ids = tbl[self.id_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in enumerate(texts):
-            sig = minhash_signature(shingle_hashes(t or "", self.k),
-                                    self.a, self.b)
-            for bnd in range(self.bands):
-                seg = sig[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
-                bh = zlib.crc32(seg.tobytes())
-                out_id.append(ids[i])
-                out_band.append(bnd)
-                out_hash.append(bh)
-        return pa.table({
-            self.id_col: pa.array(out_id),
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-        })
+        nd = len(texts)
+        sh, sh_ptr = shingle_hashes_batch(texts, self.k)
+        sigs = minhash_signatures_batch(sh, sh_ptr, self.a, self.b)
+        segs = sigs.reshape(nd, self.bands, self.rows_per_band).astype(np.uint64)
+        mixed = (segs * self.band_mult[None, None, :]).sum(axis=2)   # nd × bands
+        bucket = (mixed ^ self.band_salt[None, :]).view(np.int64).reshape(-1)
+        ids = tbl[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(nd), self.bands), type=pa.int64())
+        return pa.table({self.id_col: pc.take(ids, idx),
+                         "bucket": pa.array(bucket)})
+
+
+# ---------------------------------------------------------------------------
+# candidate-pair generation inside hash-bucketed groups
+# ---------------------------------------------------------------------------
+
+def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
+                           hot_cap: Optional[int] = 200,
+                           num_groups: int = 64):
+    """(id_a < id_b) pairs sharing a ``bucket_col`` value. ONE shuffle on a
+    hash-bucketed group key (``num_groups`` vectorized group calls total);
+    inside a group, buckets are segments of a sort and pairs come from
+    ``np.triu_indices`` — no per-bucket scheduling, no Python pair loops.
+    ``hot_cap`` skips degenerate hot buckets (> cap members): a documented
+    recall/scale trade — pass ``None`` to disable when the input is bounded."""
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        b = t[bucket_col].to_numpy(zero_copy_only=False)
+        return t.append_column("_gb", pa.array(_group_of(b, num_groups)))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[(bucket_col, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        buckets = t[bucket_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate(
+            ([True], buckets[1:] != buckets[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(t)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            seg = np.unique(ids[s:e])          # a doc may collide into a
+            m = len(seg)                       # bucket twice across bands
+            if m < 2 or (hot_cap is not None and m > hot_cap):
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            out_a.append(seg[iu])
+            out_b.append(seg[ju])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), type=pa.int64())})
+
+    return bucketed_ds.map_batches(add_gb, batch_format="pyarrow",
+                                   batch_size=None) \
+        .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+
+
+def distinct_pairs(pairs_ds):
+    """Distributed pair dedupe: native hash aggregate, no per-group calls."""
+    return pairs_ds.groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])
 
 
 def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
                             k: int = 3, num_perm: int = 64, bands: int = 16,
-                            concurrency: int = 4):
+                            concurrency: int = 4,
+                            hot_cap: Optional[int] = 200,
+                            num_groups: int = 64):
     """Banded-LSH candidate pairs: (id_a, id_b) with id_a < id_b that share
-    at least one band bucket."""
+    at least one band bucket (distinct — band-level duplicates removed by a
+    native hash aggregate)."""
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k,
                                    num_perm=num_perm, bands=bands),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    pairs = bucket_candidate_pairs(banded, "bucket", id_col,
+                                   hot_cap=hot_cap, num_groups=num_groups)
+    return distinct_pairs(pairs)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
 
-    pairs = banded.groupby(["band_id", "band_hash"]) \
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    return pairs
+# ---------------------------------------------------------------------------
+# distributed exact-Jaccard verify (join shingle-set blobs onto pairs)
+# ---------------------------------------------------------------------------
+
+def shingle_set_dataset(ds, col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, out: str = "sh_set"):
+    """(id, shingle-SET blob) per doc: per-doc unique shingle hashes packed
+    as a sorted uint64 binary blob (Acero joins carry binary payloads;
+    list columns they don't). Dedup is one global lexsort per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        n = len(texts)
+        sh, sh_ptr = shingle_hashes_batch(texts, k)
+        doc_of = np.repeat(np.arange(n), np.diff(sh_ptr))
+        order = np.lexsort((sh, doc_of))
+        sd, shs = doc_of[order], sh[order]
+        keep = np.ones(len(shs), dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (shs[1:] != shs[:-1])
+        sd, shs = sd[keep], shs[keep]
+        kept_counts = np.bincount(sd, minlength=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        blob = shs.tobytes()
+        blobs = [blob[offs[i] * 8: offs[i + 1] * 8] for i in range(n)]
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(blobs, type=pa.binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _jaccard_from_blobs(a: bytes, b: bytes) -> float:
+    sa = np.frombuffer(a or b"", dtype=np.uint64)
+    sb = np.frombuffer(b or b"", dtype=np.uint64)
+    if not len(sa) and not len(sb):
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / max(1, len(sa) + len(sb) - inter)
+
+
+def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_partitions: int = 8):
+    """Attach both docs' shingle sets to every candidate pair via two hash
+    joins, then compute EXACT Jaccard inside map_batches — the verify is
+    distributed; the driver never sees a text. Returns a Dataset
+    (id_a, id_b, jaccard)."""
+    sig = shingle_set_dataset(docs_ds, col, id_col, k)
+    j1 = pairs_ds.join(sig, "inner", num_partitions,
+                       on=("id_a",), right_on=(id_col,)) \
+        .rename_columns({"sh_set": "_sh_a"})
+    j2 = j1.join(sig, "inner", num_partitions,
+                 on=("id_b",), right_on=(id_col,))
+
+    def jac(t: pa.Table) -> pa.Table:
+        a_blobs = t["_sh_a"].to_pylist()
+        b_blobs = t["sh_set"].to_pylist()
+        vals = np.fromiter((_jaccard_from_blobs(a, b)
+                            for a, b in zip(a_blobs, b_blobs)),
+                           dtype=np.float64, count=len(t))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "jaccard": pa.array(vals)})
+
+    return j2.map_batches(jac, batch_format="pyarrow", batch_size=None)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -154,9 +363,10 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def connected_components(pairs: Iterable[tuple]) -> dict:
-    """Driver-side union-find over candidate PAIRS (not docs). Valid while
-    the verified-duplicate pair set fits the driver (sparse duplicates —
-    at 100 TB run the min-label-propagation groupby variant instead)."""
+    """Driver-side union-find over VERIFIED candidate PAIRS (not docs).
+    Valid while the verified-duplicate pair set fits the driver (sparse
+    duplicates — at extreme dup rates run the min-label-propagation groupby
+    variant instead)."""
     parent: dict = {}
 
     def find(x):
@@ -174,32 +384,26 @@ def connected_components(pairs: Iterable[tuple]) -> dict:
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   k: int = 3, num_perm: int = 64, bands: int = 16,
-                  threshold: float = 0.8, concurrency: int = 4):
-    """Full near-dup pipeline: LSH candidates → Jaccard verify (against a
-    broadcast id→text lookup for the candidate ids only) → keep min-id per
-    component. Returns (deduped_dataset, dropped_id_list)."""
+                  threshold: float = 0.8, concurrency: int = 4,
+                  num_partitions: int = 8):
+    """Full near-dup pipeline: LSH candidates → distributed Jaccard verify
+    (join-attached shingle sets, see :func:`verified_jaccard_pairs`) →
+    keep min-id per component. Returns (deduped_dataset, dropped_id_list).
+    Only VERIFIED pairs (small by construction) reach the driver."""
     import ray
 
-    pairs_ds = minhash_candidate_pairs(ds, col, id_col, k, num_perm, bands,
-                                       concurrency)
-    pairs = pairs_ds.to_pandas().drop_duplicates()
-    if len(pairs) == 0:
+    # materialize the PAIR LIST (small by construction) so the empty case is
+    # detectable and the join doesn't recompute the LSH pipeline
+    cand = minhash_candidate_pairs(ds, col, id_col, k, num_perm, bands,
+                                   concurrency).materialize()
+    if cand.count() == 0:
         return ds, []
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    # fetch candidate texts only (semi-join via broadcast id set)
-    ids_ref = ray.put(cand_ids)
-
-    def only_candidates(t: pa.Table) -> pa.Table:
-        idset = ray.get(ids_ref)
-        mask = pa.array([i in idset for i in t[id_col].to_pylist()])
-        return t.filter(mask)
-
-    cand = ds.map_batches(only_candidates, batch_format="pyarrow", batch_size=None) \
-        .select_columns([id_col, col]).to_pandas()
-    text_of = dict(zip(cand[id_col], cand[col]))
-    verified = [(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])
-                if jaccard(text_of.get(a, ""), text_of.get(b, ""), k) >= threshold]
-    comp = connected_components(verified)
+    ver = verified_jaccard_pairs(cand, ds, col, id_col, k,
+                                 num_partitions).to_pandas()
+    verified = ver[ver["jaccard"] >= threshold]
+    if len(verified) == 0:
+        return ds, []
+    comp = connected_components(zip(verified["id_a"], verified["id_b"]))
     drop = sorted(x for x, root in comp.items() if root != x)
     drop_ref = ray.put(set(drop))
 
@@ -215,18 +419,12 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 # simhash
 # ---------------------------------------------------------------------------
 
-def _token_hash64(w: str) -> int:
-    e = w.encode()
-    return (zlib.crc32(e) << 32) | zlib.crc32(e[::-1])
-
-
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (crc32-derived token hashes)."""
-    words = text.split()
-    if not words:
+    """64-bit SimHash over word tokens (hash_array-derived token hashes)."""
+    wh, _ = _hash_words_batch([text])
+    if not len(wh):
         return 0
-    h = np.array([_token_hash64(w) for w in words], dtype=np.uint64)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
             np.uint64(1)).astype(np.int64)          # T × 64
     acc = (2 * bits - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) <<
@@ -235,25 +433,20 @@ def simhash64(text: str) -> int:
 
 def simhash_batch(tbl: pa.Table, col: str = "text",
                   out: str = "simhash") -> pa.Table:
-    """Batch-vectorized SimHash: ONE token pass for the whole batch —
-    per-token crc32 (C speed), then a single (T × 64) bit matrix and a
-    segmented sum per doc (np.add.at) instead of per-word Python."""
+    """Batch-vectorized SimHash: ONE token-hash pass for the whole batch,
+    then a single (T × 64) bit matrix and a segmented sum per doc
+    (np.add.at) instead of per-word Python."""
     texts = tbl[col].to_pylist()
-    tokens: list[str] = []
-    doc_of: list[int] = []
-    for i, t in enumerate(texts):
-        ws = (t or "").split()
-        tokens.extend(ws)
-        doc_of.extend([i] * len(ws))
     n = len(texts)
-    if not tokens:
+    wh, wptr = _hash_words_batch(texts)
+    if not len(wh):
         return tbl.append_column(out, pa.array(np.zeros(n, dtype=np.int64)))
-    h = np.array([_token_hash64(w) for w in tokens], dtype=np.uint64)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+    doc_of = np.repeat(np.arange(n), np.diff(wptr))
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
             np.uint64(1)).astype(np.int64)          # T × 64
     contrib = 2 * bits - 1
     acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, np.asarray(doc_of), contrib)
+    np.add.at(acc, doc_of, contrib)
     vals = ((acc > 0).astype(np.uint64) <<
             np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
     return tbl.append_column(out, pa.array(vals.view(np.int64)))
@@ -269,7 +462,7 @@ def hamming64(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (shared-shingle blocking)
+# n-gram Jaccard near-dup (shared-shingle blocking + distributed verify)
 # ---------------------------------------------------------------------------
 
 class ShingleExplode:
@@ -279,42 +472,46 @@ class ShingleExplode:
         self.sample_mod = sample_mod  # keep 1/mod shingles (cheap blocking)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for i, t in zip(tbl[self.id_col].to_pylist(), tbl[self.col].to_pylist()):
-            hs = shingle_hashes(t or "", self.k)
-            keep = hs[hs % self.sample_mod == 0]
-            ids.extend([i] * len(keep))
-            sh.extend(keep.view(np.int64).tolist())
-        return pa.table({self.id_col: pa.array(ids),
-                         "shingle": pa.array(sh, type=pa.int64())})
+        texts = tbl[self.col].to_pylist()
+        n = len(texts)
+        sh, sh_ptr = shingle_hashes_batch(texts, self.k)
+        doc_of = np.repeat(np.arange(n), np.diff(sh_ptr))
+        if self.sample_mod > 1:
+            keep = sh % np.uint64(self.sample_mod) == 0
+            sh, doc_of = sh[keep], doc_of[keep]
+        ids = tbl[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({self.id_col: pc.take(ids, pa.array(doc_of, type=pa.int64())),
+                         "shingle": pa.array(sh.view(np.int64))})
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
-                        concurrency: int = 4):
-    """Candidate pairs sharing ≥1 sampled shingle, then exact Jaccard —
-    returns a pandas frame (id_a, id_b, jaccard ≥ threshold)."""
+                        concurrency: int = 4, sample_mod: int = 1,
+                        hot_cap: Optional[int] = 200,
+                        num_groups: int = 64, num_partitions: int = 8):
+    """Candidate pairs sharing ≥1 (sampled) shingle, then DISTRIBUTED exact
+    Jaccard (join-attached shingle sets) — returns a pandas frame
+    (id_a, id_b, jaccard ≥ threshold); only the thresholded result reaches
+    the driver. Default ``sample_mod=1`` blocks on EVERY shingle — perfect
+    candidate recall for any threshold > 0 (modulo ``hot_cap``, which skips
+    degenerate hot buckets; pass ``None`` on bounded inputs). Raise
+    ``sample_mod`` at scale to cut the blocking shuffle 1/mod-fold at a
+    quantified recall cost."""
     exploded = ds.map_batches(
-        ShingleExplode, fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k),
+        ShingleExplode,
+        fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k,
+                                   sample_mod=sample_mod),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2 or len(ids) > 200:   # skip degenerate hot buckets
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
-
-    pairs = exploded.groupby("shingle") \
-        .map_groups(bucket_pairs, batch_format="pandas").to_pandas() \
-        .drop_duplicates()
-    if len(pairs) == 0:
-        return pairs.assign(jaccard=pd.Series([], dtype="float64"))
-    texts = ds.select_columns([id_col, col]).to_pandas()
-    text_of = dict(zip(texts[id_col], texts[col]))
-    jac = [jaccard(text_of.get(a, ""), text_of.get(b, ""), k)
-           for a, b in zip(pairs["id_a"], pairs["id_b"])]
-    pairs = pairs.assign(jaccard=jac)
-    return pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
+    pairs = distinct_pairs(bucket_candidate_pairs(
+        exploded, "shingle", id_col, hot_cap=hot_cap,
+        num_groups=num_groups)).materialize()   # pair list only (small)
+    if pairs.count() == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    ver = verified_jaccard_pairs(pairs, ds, col, id_col, k,
+                                 num_partitions).to_pandas()
+    out = ver[ver["jaccard"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

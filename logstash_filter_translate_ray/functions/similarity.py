@@ -68,47 +68,163 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     return out
 
 
+def _pairs_from_scores(ids_a: np.ndarray, ids_b: np.ndarray,
+                       scores: np.ndarray, threshold: float,
+                       upper_only: bool) -> pa.Table:
+    """Vectorized (id_a < id_b, cosine) extraction from a score matrix."""
+    hits = scores >= threshold
+    if upper_only:
+        hits &= np.triu(np.ones_like(hits, dtype=bool), 1)
+    ri, ci = np.nonzero(hits)
+    a = ids_a[ri]
+    b = ids_b[ci]
+    sc = scores[ri, ci]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    return pa.table({"id_a": pa.array(lo[keep].astype(np.int64)),
+                     "id_b": pa.array(hi[keep].astype(np.int64)),
+                     "cosine": pa.array(sc[keep].astype(np.float64))})
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.9,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id"):
-    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine
-    ≥ threshold.
+                            id_col: str = "vec_id",
+                            max_blocks: int = 64):
+    """EXACT embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold.
 
-    Implementation: the normalized matrix is broadcast (``ray.put`` once);
-    each batch computes its rows against the full matrix — one numpy matmul
-    per batch, emitting only the above-threshold pairs. O(N²) work split
-    across batches; for 100 TB-scale N, route through
-    :class:`LshIndexStage` buckets first (compare only within a bucket and
-    its hamming-1 neighbors) — same per-batch kernel, candidate set shrunk
-    by ~2^n_planes.
+    Distributed block cross-product: the (id, vector) blocks stay in the
+    object store (``to_arrow_refs``); every block PAIR is scored by one Ray
+    task (B·(B+1)/2 tasks, each a single float64 matmul). The driver holds
+    only block refs and the resulting PAIRS — never a vector matrix. The
+    O(N²) compute is inherent to exactness; at scale route through
+    :func:`embedding_neardup_pairs_lsh` (same in-bucket kernel, candidate
+    set shrunk by the banded LSH blocking).
     """
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy()
-    m_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
-    ref = ray.put((ids_all, m_all))
+    sub = ds.select_columns([id_col, vec_col])
+    refs = sub.to_arrow_refs()
+    if len(refs) > max_blocks:           # bound the quadratic task count
+        refs = sub.repartition(max_blocks).to_arrow_refs()
+    if not refs:
+        import pandas as pd
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
 
-    def batch_pairs(tbl: pa.Table) -> pa.Table:
-        ids_g, m_g = ray.get(ref)
-        mine = _normalize(_batch_matrix(tbl, vec_col).astype(np.float64))
-        my_ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        scores = mine @ m_g.T
-        ia, ib, sc = [], [], []
-        for r in range(scores.shape[0]):
-            hits = np.nonzero(scores[r] >= threshold)[0]
-            for h in hits:
-                if my_ids[r] < ids_g[h]:
-                    ia.append(int(my_ids[r]))
-                    ib.append(int(ids_g[h]))
-                    sc.append(float(scores[r, h]))
-        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
-                         "id_b": pa.array(ib, type=pa.int64()),
-                         "cosine": pa.array(sc, type=pa.float64())})
+    @ray.remote
+    def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ma = _normalize(_batch_matrix(ta, vec_col).astype(np.float64))
+        mb = ma if same else _normalize(
+            _batch_matrix(tb, vec_col).astype(np.float64))
+        ids_a = ta[id_col].to_numpy(zero_copy_only=False)
+        ids_b = ids_a if same else tb[id_col].to_numpy(zero_copy_only=False)
+        return _pairs_from_scores(ids_a, ids_b, ma @ mb.T, threshold,
+                                  upper_only=same)
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow",
-                          batch_size=None).to_pandas() \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    futures = [cross.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    out = pa.concat_tables(ray.get(futures)).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_tables: int = 12,
+                                planes_per_table: int = 4,
+                                seed: int = 42, num_groups: int = 64,
+                                hot_cap: int = 8192):
+    """Approximate near-dup pairs — the 100 TB path: banded random-
+    hyperplane LSH. Each vector explodes into ``n_tables`` rows
+    (table, bucket, id, normalized vec); pairs are scored ONLY inside a
+    (table, bucket) segment (one matmul per segment, hash-bucketed groups =
+    ``num_groups`` vectorized group calls); a native max-aggregate dedupes
+    pairs found by several tables.
+
+    Recall for a pair at cosine c: with p = 1 - arccos(c)/π,
+    P(candidate) = 1 - (1 - p^r)^L  (r = planes_per_table, L = n_tables);
+    defaults give ≈0.99 at c = 0.9. Precision is exact (scores are real
+    cosines; the threshold filter runs in-bucket)."""
+    import pandas as pd
+    import ray.data  # noqa: F401  (Dataset ops used via ds)
+
+    salt = np.uint64(0x9E3779B97F4A7C15)
+
+    class _Explode:
+        def __init__(self):
+            self.planes = None  # dim inferred from the first batch
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(t, vec_col).astype(np.float32))
+            n, dim = m.shape
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = rng.randn(
+                    dim, n_tables * planes_per_table).astype(np.float32)
+            bits = (m @ self.planes) > 0              # n × (L·r)
+            bits = bits.reshape(n, n_tables, planes_per_table)
+            sig = (bits @ (1 << np.arange(planes_per_table))).astype(np.uint64)
+            tids = np.arange(n_tables, dtype=np.uint64)[None, :]
+            bucket = ((sig | (tids << np.uint64(8))) * salt).view(np.int64)
+            idx = np.repeat(np.arange(n), n_tables)
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            import pyarrow.compute as pc
+            rep = np.ascontiguousarray(m[idx])
+            offs = pa.array(np.arange(0, (len(idx) + 1) * dim, dim,
+                                      dtype=np.int32))
+            vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
+            return pa.table({id_col: pc.take(ids, pa.array(idx, type=pa.int64())),
+                             "bucket": pa.array(bucket.reshape(-1)),
+                             "_nvec": vecs})
+
+    from .dedup import _group_of
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.append_column("_gb", pa.array(_group_of(b, num_groups)))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if len(t) == 0:
+            return empty
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(t, sort_keys=[("bucket", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(t, "_nvec").astype(np.float64)  # already normalized
+        starts = np.nonzero(np.concatenate(
+            ([True], buckets[1:] != buckets[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(t)]))
+        parts = []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > hot_cap:
+                continue
+            seg_ids = ids[s:e]
+            seg_m = m[s:e]
+            parts.append(_pairs_from_scores(seg_ids, seg_ids,
+                                            seg_m @ seg_m.T, threshold,
+                                            upper_only=True))
+        return pa.concat_tables(parts) if parts else empty
+
+    exploded = ds.map_batches(_Explode, batch_format="pyarrow",
+                              batch_size=None, concurrency=(1, 4))
+    pairs = exploded.map_batches(add_gb, batch_format="pyarrow",
+                                 batch_size=None) \
+        .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+    # a pair can be found by several tables → native max-agg dedupe
+    deduped = pairs.groupby(["id_a", "id_b"]).max("cosine") \
+        .rename_columns({"max(cosine)": "cosine"})
+    out = deduped.to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 class LshIndexStage:

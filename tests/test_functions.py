@@ -238,3 +238,49 @@ def test_winnow_dataset_column(docs_ds):
     from logstash_filter_translate_ray.functions.text import winnow_dataset
     out = winnow_dataset(docs_ds.limit(20)).to_pandas()
     assert out["fingerprints"].map(len).gt(0).all()
+
+
+def test_embedding_neardup_exact_is_distributed_blockwise(emb_ds):
+    """Exact pairs via the block cross-product must equal a local all-pairs
+    reference (no driver matrix materialization in the path)."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs)
+    got = embedding_neardup_pairs(emb_ds, threshold=0.4, max_blocks=4)
+    tbl = emb_ds.to_pandas()
+    m = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy()
+    sc = m @ m.T
+    want = set()
+    iu, ju = np.triu_indices(len(ids), 1)
+    for i, j in zip(iu[sc[iu, ju] >= 0.4], ju[sc[iu, ju] >= 0.4]):
+        want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == want
+
+
+def test_embedding_neardup_lsh_recall(emb_ds):
+    """LSH-blocked variant: ≥90% recall vs exact at the default params, and
+    every reported pair must be a true pair with its true cosine
+    (precision is exact by construction)."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs, embedding_neardup_pairs_lsh)
+    exact = embedding_neardup_pairs(emb_ds, threshold=0.4)
+    # the LSH path normalizes in float32 → scores differ by ~1e-7; compare
+    # against a slightly loosened exact set for the precision claim
+    loose = embedding_neardup_pairs(emb_ds, threshold=0.4 - 1e-5)
+    # params matched to the LOW test threshold (c=0.4 → p≈0.63): r=2, L=16
+    # gives 1-(1-p²)^L ≈ 0.999 expected recall. The r=4/L=12 defaults are
+    # tuned for real near-dup thresholds (c≥0.9).
+    approx = embedding_neardup_pairs_lsh(emb_ds, threshold=0.4,
+                                         planes_per_table=2, n_tables=16)
+    exact_pairs = {(a, b): c for a, b, c in
+                   zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+    loose_pairs = {(a, b): c for a, b, c in
+                   zip(loose["id_a"], loose["id_b"], loose["cosine"])}
+    approx_pairs = {(a, b): c for a, b, c in
+                    zip(approx["id_a"], approx["id_b"], approx["cosine"])}
+    assert set(approx_pairs) <= set(loose_pairs)          # exact precision
+    for p, c in approx_pairs.items():
+        assert abs(c - loose_pairs[p]) < 1e-5
+    recall = len(approx_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(approx_pairs)}/{len(exact_pairs)})"
