@@ -248,30 +248,47 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language-ID (rows-only check: not SQL-expressible)."""
+    """Heuristic language-ID — SQL-mirrored: per-language RE2 counts +
+    ordered-argmax CASE (ties break to the earlier profile, same as
+    np.argmax)."""
     from logstash_filter_translate_ray.functions.text import langid_dataset
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return langid_dataset(ds).select_columns(["doc_id", "lang_pred"])
 
 
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprint (rows-only: crc32 not in DuckDB)."""
+    """Content fingerprint: md5-lower64(text) XOR md5-lower64(ws-normalized
+    text) — exactly DuckDB's xor(md5_number_lower(...), ...)."""
     from logstash_filter_translate_ray.functions.text import fingerprint_dataset
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return fingerprint_dataset(ds).select_columns(["doc_id", "fingerprint"])
 
 
 def q_simhash(sf_dir: str):
+    """64-bit SimHash with the md5 word hash (== DuckDB md5_number_lower)
+    so the bit-majority algorithm is SQL-verifiable end-to-end; the library
+    default keeps the faster siphash batch (rows-only pytest oracle)."""
     from logstash_filter_translate_ray.functions.dedup import simhash_dataset
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_dataset(ds).select_columns(["doc_id", "simhash"])
+    return simhash_dataset(ds, word_hash="md5") \
+        .select_columns(["doc_id", "simhash"])
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH candidate generation + Jaccard ≥0.5 verify (rows-only)."""
+    """Word-3-gram-shingle Jaccard ≥0.5 pairs through the scale blocking +
+    distributed verify path. Bounded to doc_id < 1000 (the ORACLE's O(N²)
+    list-algebra cross join is the binding cost); sample_mod=1 + hot_cap=None
+    give exact candidate recall on the bounded input, so the approximate
+    MinHash band stage (rows-only by design) is covered separately in
+    pytest while the verify semantics are SQL-checked here."""
+    import pyarrow.compute as pc
+    import ray.data as rd
     from logstash_filter_translate_ray.functions.dedup import ngram_jaccard_pairs
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.5, concurrency=2)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         filter=(pc.field("doc_id") < 1000))
+    out = ngram_jaccard_pairs(ds, k=3, threshold=0.5, sample_mod=1,
+                              hot_cap=None, concurrency=2)
     return out[["id_a", "id_b"]]
 
 
@@ -341,7 +358,9 @@ def q_translate_iterate_maps(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    """Composite quality scoring (rows-only: float heuristics)."""
+    """Composite quality scoring — SQL-mirrored float64 arithmetic (the
+    oracle reproduces the exact operation ORDER, so IEEE doubles match
+    bit-for-bit)."""
     from logstash_filter_translate_ray.functions.text import quality_dataset
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return quality_dataset(ds).select_columns(["doc_id", "quality_score"])
@@ -368,15 +387,18 @@ def q_ivf_topk(sf_dir: str):
 
 
 def q_winnow(sf_dir: str):
-    """Winnowing fingerprints per document (rows-only: not SQL-expressible)."""
+    """Winnowing fingerprints per document (k=5, w=4), first 8 joined as a
+    CSV string — SQL-mirrored: the k-gram polynomial mod 2^31-1 is
+    list_reduce-expressible and window minima are list_min over slices."""
     from logstash_filter_translate_ray.functions.text import winnow_dataset
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = winnow_dataset(ds)
 
     def first8(t: pa.Table) -> pa.Table:
-        fps = [v[:8] for v in t["fingerprints"].to_pylist()]
+        fps = [",".join(str(x) for x in v[:8])
+               for v in t["fingerprints"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
-                         "fp8": pa.array(fps, type=pa.list_(pa.int64()))})
+                         "fp8": pa.array(fps, type=pa.string())})
     return out.map_batches(first8, batch_format="pyarrow", batch_size=None)
 
 
@@ -521,13 +543,21 @@ def q_transcripts_pipeline(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal decode plumbing on deterministic fake media (rows-only)."""
-    import ray.data as rd
+    """Multimodal decode plumbing with payloads DERIVED from the documents
+    table (payload = utf-8 bytes of text), so byte-size and md5 digest are
+    SQL-verifiable while exercising the real binary actor-pool stage."""
     from logstash_filter_translate_ray.functions.multimodal import (
-        decode_features_dataset, make_fake_media)
-    ds = rd.from_arrow(make_fake_media(500))
-    return decode_features_dataset(ds, concurrency=2).select_columns(
-        ["media_id", "payload_bytes", "payload_crc"])
+        decode_features_dataset)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [(s or "").encode() for s in t["text"].to_pylist()]
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=None)
+    return decode_features_dataset(media, concurrency=2).select_columns(
+        ["media_id", "payload_bytes", "payload_digest"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -581,6 +611,85 @@ def _case_exact(col: str, d: dict[str, str], fallback: "str | None") -> str:
     whens = " ".join(f"WHEN {col} = '{k}' THEN '{v}'" for k, v in d.items())
     els = f"ELSE '{fallback}'" if fallback is not None else "ELSE NULL"
     return f"CASE {whens} {els} END"
+
+
+def _langid_sql() -> str:
+    """Ordered-argmax CASE over per-language RE2 counts, mirroring
+    np.argmax's first-max tie-break (profile order en, de, fr, es, zh)."""
+    from logstash_filter_translate_ray.functions.text import LANG_PROFILES
+    langs = list(LANG_PROFILES)
+    # profiles contain no quotes; backslashes pass through SQL strings as-is
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{LANG_PROFILES[l]}')) AS {l}"
+        for l in langs)
+    tie = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{l} >= {m}" for m in langs[i + 1:])
+        tie.append(f"WHEN {conds} THEN '{l}'")
+    return (
+        f"WITH s AS (SELECT doc_id, {counts} FROM documents) "
+        f"SELECT doc_id, CASE WHEN greatest({', '.join(langs)}) = 0 "
+        f"THEN 'und' {' '.join(tie)} ELSE '{langs[-1]}' END AS lang_pred "
+        "FROM s")
+
+
+def _quality_sql() -> str:
+    from logstash_filter_translate_ray.functions.text import (
+        _PUNCT_RE, _STOP_RE, WS_TOKEN_RE)
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "CAST(length(text) AS DOUBLE) AS n_chars, "
+        f"CAST(len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS DOUBLE) AS n_words, "
+        f"CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) AS n_punct, "
+        f"CAST(len(regexp_extract_all(text, '{_STOP_RE}')) AS DOUBLE) AS n_stop "
+        "FROM documents), "
+        "r AS (SELECT doc_id, "
+        "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
+        "n_stop / greatest(n_words, 1.0) AS stop_ratio, "
+        "least(n_chars / 200.0, 1.0) AS len_score FROM s) "
+        "SELECT doc_id, len_score * ((1.0 - least(punct_ratio, 1.0)) * "
+        "least(0.5 + stop_ratio * 2.0, 1.0)) AS quality_score FROM r")
+
+
+def _simhash_sql() -> str:
+    # word split (non-empty \s+ tokens) → md5_number_lower per word → 64-bit
+    # bit-majority → sum of winning bits (bits are disjoint, so SUM == OR)
+    return (
+        "WITH w AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w), "
+        "b AS (SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS acc FROM h "
+        "CROSS JOIN (SELECT unnest(range(64)) AS bit) bits "
+        "GROUP BY doc_id, bit), "
+        "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN "
+        "(1::UBIGINT << bit)::HUGEINT ELSE 0 END) AS UBIGINT) AS simhash "
+        "FROM b GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(sh.simhash, 0::UBIGINT) AS simhash "
+        "FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id")
+
+
+def _winnow_sql() -> str:
+    # k=5, w=4, B=257, M=2^31-1: k-gram Horner via list_reduce == the
+    # engine's windowed-dot-product mod M; window minima via list_min over
+    # 4-slices; first 8 sorted-distinct minima joined as CSV
+    return (
+        "WITH cp AS (SELECT doc_id, length(text) AS n, "
+        "list_transform(range(1, length(text)+1), "
+        "i -> CAST(unicode(text[i]) AS BIGINT)) AS cps "
+        "FROM documents), "
+        "h AS (SELECT doc_id, CASE WHEN n = 0 THEN CAST([] AS BIGINT[]) "
+        "WHEN n < 5 THEN [list_reduce(cps, (a,b) -> (a*257+b) % 2147483647)] "
+        "ELSE list_transform(range(1, n-3), i -> list_reduce("
+        "list_slice(cps, i, i+4), (a,b) -> (a*257+b) % 2147483647)) END AS hs "
+        "FROM cp), "
+        "m AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN hs "
+        "WHEN len(hs) <= 4 THEN [list_min(hs)] "
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(hs)-2), "
+        "j -> list_min(list_slice(hs, j, j+3))))) END AS fps FROM h) "
+        "SELECT doc_id, array_to_string(list_transform(list_slice(fps, 1, 8), "
+        "x -> CAST(x AS VARCHAR)), ',') AS fp8 FROM m")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -690,4 +799,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n FROM "
             "(SELECT event_type FROM events UNION ALL "
             "SELECT event_type FROM events) GROUP BY event_type",
+        "langid": _langid_sql(),
+        "quality_scores": _quality_sql(),
+        "simhash": _simhash_sql(),
+        "winnow": _winnow_sql(),
+        "fingerprint":
+            "SELECT doc_id, xor(md5_number_lower(text), md5_number_upper("
+            "regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint "
+            "FROM documents",
+        "multimodal_features":
+            "SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, "
+            "md5_number_lower(text) AS payload_digest FROM documents",
+        "minhash_pairs":
+            "WITH d AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents WHERE doc_id < 1000), "
+            "s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(w)-1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+            "ELSE [array_to_string(w, ' ')] END AS sh FROM d) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5",
     }

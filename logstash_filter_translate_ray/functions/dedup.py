@@ -419,9 +419,26 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (hash_array-derived token hashes)."""
-    wh, _ = _hash_words_batch([text])
+def _md5_word_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """md5-lower64 per word (matches DuckDB ``md5_number_lower`` — see
+    text.md5_lower64) so SimHash is SQL-verifiable; slower than the default
+    siphash batch, intended for bounded/oracle runs."""
+    from .text import md5_lower64
+    toks = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                         count=len(toks))
+    wh = np.fromiter((md5_lower64(w.encode()) for x in toks for w in x),
+                     dtype=np.uint64, count=int(counts.sum()))
+    ptr = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    return wh, ptr
+
+
+def simhash64(text: str, word_hash: str = "sip") -> int:
+    """64-bit SimHash over word tokens (hash_array-derived token hashes;
+    ``word_hash='md5'`` swaps in the SQL-mirrorable md5-lower64)."""
+    fn = _md5_word_hashes if word_hash == "md5" else _hash_words_batch
+    wh, _ = fn([text])
     if not len(wh):
         return 0
     bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
@@ -432,15 +449,17 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(tbl: pa.Table, col: str = "text",
-                  out: str = "simhash") -> pa.Table:
+                  out: str = "simhash", word_hash: str = "sip") -> pa.Table:
     """Batch-vectorized SimHash: ONE token-hash pass for the whole batch,
     then a single (T × 64) bit matrix and a segmented sum per doc
-    (np.add.at) instead of per-word Python."""
+    (np.add.at) instead of per-word Python. ``word_hash='md5'`` swaps the
+    token hash for DuckDB's md5_number_lower (SQL-verifiable; slower)."""
     texts = tbl[col].to_pylist()
     n = len(texts)
-    wh, wptr = _hash_words_batch(texts)
+    fn = _md5_word_hashes if word_hash == "md5" else _hash_words_batch
+    wh, wptr = fn(texts)
     if not len(wh):
-        return tbl.append_column(out, pa.array(np.zeros(n, dtype=np.int64)))
+        return tbl.append_column(out, pa.array(np.zeros(n, dtype=np.uint64)))
     doc_of = np.repeat(np.arange(n), np.diff(wptr))
     bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
             np.uint64(1)).astype(np.int64)          # T × 64
@@ -449,11 +468,11 @@ def simhash_batch(tbl: pa.Table, col: str = "text",
     np.add.at(acc, doc_of, contrib)
     vals = ((acc > 0).astype(np.uint64) <<
             np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-    return tbl.append_column(out, pa.array(vals.view(np.int64)))
+    return tbl.append_column(out, pa.array(vals))     # uint64 (SQL UBIGINT)
 
 
-def simhash_dataset(ds, col: str = "text"):
-    return ds.map_batches(lambda t: simhash_batch(t, col),
+def simhash_dataset(ds, col: str = "text", word_hash: str = "sip"):
+    return ds.map_batches(lambda t: simhash_batch(t, col, word_hash=word_hash),
                           batch_format="pyarrow", batch_size=None)
 
 

@@ -75,13 +75,16 @@ class DecodeFeatureStage:
                          for i in range(8)], dtype=np.float32)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        from .text import md5_lower64
         payloads = tbl["payload"].to_pylist()
         sizes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-        digests = np.array([zlib.crc32(p or b"") for p in payloads],
-                           dtype=np.int64)
+        # md5-lower64 (== DuckDB md5_number_lower) so the digest column is
+        # SQL-verifiable when payloads derive from a registered table
+        digests = np.array([md5_lower64(p or b"") for p in payloads],
+                           dtype=np.uint64)
         feats = [self._fake_features(p or b"") for p in payloads]
         tbl = tbl.append_column("payload_bytes", pa.array(sizes))
-        tbl = tbl.append_column("payload_crc", pa.array(digests))
+        tbl = tbl.append_column("payload_digest", pa.array(digests))
         tbl = tbl.append_column(
             "features", pa.array([f.tolist() for f in feats],
                                  type=pa.list_(pa.float32())))

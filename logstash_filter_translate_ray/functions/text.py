@@ -8,7 +8,6 @@ path except the fingerprint's C-speed crc32 loop.
 
 from __future__ import annotations
 
-import zlib
 from typing import Optional
 
 import numpy as np
@@ -124,39 +123,51 @@ def langid_dataset(ds, col: str = "text"):
 # ---------------------------------------------------------------------------
 
 _B = 257
-_M = (1 << 61) - 1
+_M = (1 << 31) - 1   # Mersenne31: k-gram polynomial fits int64 with NO
+#                      per-char Python AND mirrors in plain-BIGINT SQL
+#                      (2^31 hash space trades some collision headroom for
+#                      full vectorizability; fine for fingerprint matching)
+def _win_pows(k: int) -> np.ndarray:
+    return np.array([pow(_B, k - 1 - j, _M) for j in range(k)],
+                    dtype=np.int64)
+
+
+def _kgram_hashes(cp: np.ndarray, k: int, pows: np.ndarray) -> np.ndarray:
+    """Vectorized k-gram polynomial hashes of a codepoint array: a windowed
+    dot product (k vector ops), identical to Horner-evaluating each k-gram
+    mod M — no per-character Python."""
+    n = len(cp)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        acc += pows[j] * cp[j:m + j]      # < 2^31·2^21·k — fits int64
+    return acc % _M
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.int64)
 
 
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
-    """Winnowing (Schleimer/Wilkerson/Aiken): k-gram Rabin-Karp rolling
-    hashes → per-window minima → fingerprint set (sorted, deduped).
-    Guarantees any shared substring of length ≥ w+k-1 yields a shared
-    fingerprint. Rolling update is O(1) per character."""
+    """Winnowing (Schleimer/Wilkerson/Aiken): k-gram polynomial hashes →
+    per-window minima → fingerprint set (sorted, deduped). Guarantees any
+    shared substring of length ≥ w+k-1 yields a shared fingerprint. Fully
+    vectorized: codepoints via one utf-32 decode, k-gram hashes via a
+    windowed dot product, window minima via the stride trick."""
     n = len(text)
+    if n == 0:
+        return []
+    cp = _codepoints(text)
+    pows = _win_pows(min(k, n))
     if n < k:
-        return [_rk_hash(text)] if text else []
-    hashes = np.empty(n - k + 1, dtype=np.int64)
-    h = 0
-    for c in text[:k]:
-        h = (h * _B + ord(c)) % _M
-    hashes[0] = h
-    pow_k = pow(_B, k - 1, _M)
-    for i in range(1, n - k + 1):
-        h = ((h - ord(text[i - 1]) * pow_k) * _B + ord(text[i + k - 1])) % _M
-        hashes[i] = h
+        return [int(_kgram_hashes(cp, n, pows)[0])]
+    hashes = _kgram_hashes(cp, k, pows)
     if len(hashes) <= w:
         return [int(hashes.min())]
-    # sliding-window minima (vectorized via stride trick)
     from numpy.lib.stride_tricks import sliding_window_view
     mins = sliding_window_view(hashes, w).min(axis=1)
     return sorted(set(int(x) for x in mins))
-
-
-def _rk_hash(s: str) -> int:
-    h = 0
-    for c in s:
-        h = (h * _B + ord(c)) % _M
-    return h
 
 
 def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
@@ -169,26 +180,39 @@ def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
 
 
 # ---------------------------------------------------------------------------
-# document fingerprint (whole-document rolling hash digest)
+# document fingerprint (whole-document content digest)
 # ---------------------------------------------------------------------------
+
+def md5_lower64(data: bytes) -> int:
+    """Unsigned lower-64 of md5, matching DuckDB ``md5_number_lower``
+    (= LAST 8 digest bytes, little-endian) so fingerprints are
+    SQL-verifiable."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
+def md5_upper64(data: bytes) -> int:
+    """Unsigned upper-64 of md5, matching DuckDB ``md5_number_upper``
+    (= FIRST 8 digest bytes, little-endian)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
 
 def fingerprint_batch(tbl: pa.Table, col: str = "text",
                       out: str = "fingerprint") -> pa.Table:
-    """64-bit deterministic content fingerprint: crc32 of the text plus a
-    crc32 of its whitespace-normalized form, packed into one int64 (stable
-    across processes/runs — no Python ``hash``)."""
+    """64-bit deterministic content fingerprint: md5-lower64 of the text
+    XOR md5-UPPER64 of its whitespace-normalized form (different digest
+    halves, so already-normalized text does NOT cancel to 0). uint64;
+    stable across processes/runs, and exactly DuckDB's
+    ``xor(md5_number_lower(text), md5_number_upper(regexp_replace(...)))``."""
     c = tbl[col]
     norm = pc.replace_substring_regex(c, pattern=r"\s+", replacement=" ")
     raw = c.to_pylist()
     norm_py = norm.to_pylist()
-    fp = np.empty(len(raw), dtype=np.int64)
-    for i, (a, b) in enumerate(zip(raw, norm_py)):
-        if a is None:
-            fp[i] = -1
-        else:
-            v = (zlib.crc32(a.encode()) << 32) | zlib.crc32(b.encode())
-            fp[i] = v - (1 << 64) if v >= (1 << 63) else v  # wrap to int64
-    return tbl.append_column(out, pa.array(fp, type=pa.int64()))
+    fp = [None if a is None
+          else md5_lower64(a.encode()) ^ md5_upper64(b.encode())
+          for a, b in zip(raw, norm_py)]
+    return tbl.append_column(out, pa.array(fp, type=pa.uint64()))
 
 
 def fingerprint_dataset(ds, col: str = "text"):

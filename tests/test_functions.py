@@ -133,7 +133,7 @@ def test_multimodal_decode_stage(ray_session):
     # deterministic across runs
     out2 = multimodal.decode_features_dataset(rd.from_arrow(media),
                                               concurrency=1).to_pandas()
-    assert out["payload_crc"].tolist() == out2["payload_crc"].tolist()
+    assert out["payload_digest"].tolist() == out2["payload_digest"].tolist()
 
 
 def test_multimodal_resize_stage(ray_session):
