@@ -123,21 +123,24 @@ class DictSnapshot:
 
     @property
     def regex_rows(self) -> list[tuple[str, "re.Pattern", bool]]:
-        """[(raw_key, compiled, arrow_ok)] in insertion order (memory.rb:20-23)."""
+        """[(pattern, compiled, arrow_ok)] in insertion order
+        (memory.rb:20-23). ``pattern`` is the key run through the
+        Ruby→Python dialect shim (regex_dialect.py): Ruby-only constructs
+        either translate faithfully or raise a ConfigurationError naming
+        the key — never silently compile to different semantics."""
         if self._regex_rows is None:
+            from .regex_dialect import compile_ruby_regex, ruby_regex_to_python
             rows = []
-            probe = pa.array([], type=pa.string())
+            probe = pa.array([""])  # non-empty: RE2 compiles lazily, an empty probe validates nothing
             for k in self.keys:
+                compiled = compile_ruby_regex(k)
+                pat = ruby_regex_to_python(k)
                 try:
-                    compiled = re.compile(k)
-                except re.error as e:
-                    raise ConfigurationError(f"invalid regex dictionary key {k!r}: {e}")
-                try:
-                    pc.match_substring_regex(probe, pattern=k)
+                    pc.match_substring_regex(probe, pattern=pat)
                     arrow_ok = True
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     arrow_ok = False
-                rows.append((k, compiled, arrow_ok))
+                rows.append((pat, compiled, arrow_ok))
             self._regex_rows = rows
         return self._regex_rows
 
@@ -160,7 +163,7 @@ class DictSnapshot:
             rows = self.regex_rows
             groups: list[tuple[int, int, Optional[str]]] = []
             i = 0
-            probe = pa.array([], type=pa.string())
+            probe = pa.array([""])  # non-empty: RE2 compiles lazily, an empty probe validates nothing
             while i < len(rows):
                 if not rows[i][2]:               # python-only → singleton
                     groups.append((i, i + 1, None))
@@ -247,9 +250,11 @@ class DictSnapshot:
         return False, None
 
     def fetch_exact_regex(self, source: str) -> tuple[bool, Any]:
-        for k, compiled, _ in self.regex_rows:
+        # index-based value access: regex_rows holds the dialect-TRANSLATED
+        # pattern, not the raw dictionary key
+        for i, (_, compiled, _ok) in enumerate(self.regex_rows):
             if compiled.search(source):
-                return True, copy.deepcopy(self.map[k])
+                return True, copy.deepcopy(self.values[i])
         return False, None
 
     def fetch_regex_union(self, source: str) -> tuple[bool, Any]:

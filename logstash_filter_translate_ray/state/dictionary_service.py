@@ -28,6 +28,7 @@ version change, not per batch.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Optional
 
@@ -39,14 +40,25 @@ from ..kernel import DictSnapshot
 
 @ray.remote(num_cpus=0)
 class DictionaryService:
-    """Versioned dictionary snapshot holder with TTL refresh."""
+    """Versioned dictionary snapshot holder with TTL refresh.
+
+    Refresh fires two ways, both serialized by ``_reload_lock``:
+
+    - lazily at worker polls (the hot path — a no-op comparison most calls);
+    - from a daemon ``threading.Timer`` chain mirroring the reference's
+      wall-clock ``scheduler.interval { reload_dictionary }``
+      (translate.rb:259-261): an IDLE pipeline still reloads on schedule.
+      ``overlap: false`` parity comes from the lock; a refresh error in the
+      timer keeps the old dictionary (S13) and the chain alive.
+    """
 
     def __init__(self, path: Optional[str] = None,
                  mapping: Optional[dict[str, Any]] = None,
                  refresh_interval: float = 300,
                  refresh_behaviour: str = "merge",
                  yaml_code_point_limit: Optional[int] = None,
-                 yaml_load_strategy: str = "one_shot"):
+                 yaml_load_strategy: str = "one_shot",
+                 background_refresh: bool = True):
         if path is not None:
             self._backend: "FileDictionary | MemoryDictionary" = FileDictionary(
                 path, refresh_interval=refresh_interval,
@@ -57,14 +69,36 @@ class DictionaryService:
             self._backend = MemoryDictionary(mapping or {})
         self._refresh_interval = refresh_interval
         self._last_check = time.monotonic()
+        self._reload_lock = threading.Lock()
+        self._timer: Optional[threading.Timer] = None
+        if background_refresh and refresh_interval > 0 and path is not None:
+            self._schedule_tick()
+
+    def _schedule_tick(self) -> None:
+        t = threading.Timer(self._refresh_interval, self._tick)
+        t.daemon = True           # dies with the (detached) actor process
+        t.start()
+        self._timer = t
+
+    def _tick(self) -> None:
+        try:
+            with self._reload_lock:
+                try:
+                    self._backend.reload()
+                except Exception:
+                    pass          # S13: refresh failure keeps the old dict
+                self._last_check = time.monotonic()
+        finally:
+            self._schedule_tick()
 
     def _maybe_refresh(self) -> None:
         if self._refresh_interval <= 0:          # translate.rb:259 "interval of zero makes no sense"
             return
         now = time.monotonic()
         if now - self._last_check >= self._refresh_interval:
-            self._last_check = now
-            self._backend.reload()
+            with self._reload_lock:
+                self._last_check = now
+                self._backend.reload()
 
     # -- worker API --------------------------------------------------------
 
@@ -82,8 +116,9 @@ class DictionaryService:
 
     def refresh(self, force: bool = False) -> int:
         """Explicit reload (the scheduler tick); returns the current version."""
-        self._backend.reload(force=force)
-        self._last_check = time.monotonic()
+        with self._reload_lock:
+            self._backend.reload(force=force)
+            self._last_check = time.monotonic()
         return self._backend.version
 
     def version(self) -> int:

@@ -177,3 +177,92 @@ def test_mid_run_refresh_smoke(ray_session, tmp_path):
                              service_name="live-reload-test",
                              concurrency=1).to_pandas()
     assert out2["t"].tolist() == ["new"]
+
+
+def test_background_timer_refreshes_while_idle(ray_session, tmp_path):
+    """The wall-clock timer thread must reload an IDLE service — no worker
+    polls at all (translate.rb:259-261 scheduler.interval parity; the lazy
+    TTL path alone would never fire without traffic)."""
+    import ray
+    from logstash_filter_translate_ray.state import DictionaryService
+
+    p = str(tmp_path / "idle.csv")
+    _write_csv(p, [("a", "1")])
+    svc = DictionaryService.options(name="idle-timer-test").remote(
+        path=p, refresh_interval=0.3)
+    assert ray.get(svc.version.remote()) == 1
+
+    _write_csv(p, [("a", "2")])
+    os.utime(p, (os.path.getmtime(p) + 10,) * 2)
+    # version() never triggers a refresh — only the timer can bump it
+    deadline = time.time() + 5
+    v = 1
+    while time.time() < deadline and v == 1:
+        time.sleep(0.2)
+        v = ray.get(svc.version.remote())
+    assert v == 2
+    assert ray.get(svc.get_snapshot.remote()).map["a"] == "2"
+    ray.kill(svc)
+
+
+def test_both_versions_appear_under_streaming_load(ray_session, tmp_path):
+    """Reload while a SLOW multi-block pipeline streams: outputs from BOTH
+    dictionary versions appear and the total row count is exact (each block
+    is consistently one version — the snapshot swap is atomic per batch)."""
+    import threading
+    import time as _t
+
+    import ray
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.translate_stage import TranslateFn
+    from logstash_filter_translate_ray.state import get_or_create_dictionary_service
+
+    p = str(tmp_path / "load.csv")
+    _write_csv(p, [("k", "old")])
+    name = "load-reload-test"
+    service_kwargs = dict(path=p, refresh_interval=3600)
+    cfg = TranslateConfig(source="s", target="t", dictionary_path=p,
+                          refresh_interval=3600, override=True)
+    svc = get_or_create_dictionary_service(name, **service_kwargs)
+    ray.get(svc.version.remote())
+
+    marker = str(tmp_path / "first_batch_done")
+
+    class SlowTranslateFn(TranslateFn):
+        """0.1 s per batch so one serialized actor spreads 30 blocks over
+        ~3 s; drops a marker file after the first batch so the flip thread
+        can wait out actor-startup time and land mid-stream."""
+
+        def __call__(self, batch):
+            _t.sleep(0.1)
+            out = super().__call__(batch)
+            with open(self._marker_path, "w") as f:
+                f.write("x")
+            return out
+
+    SlowTranslateFn._marker_path = marker
+
+    n = 3000
+    ds = rd.from_arrow(pa.table({"s": ["k"] * n})).repartition(30)
+    out_ds = ds.map_batches(
+        SlowTranslateFn,
+        fn_constructor_kwargs=dict(cfg=cfg, service_name=name,
+                                   service_kwargs=service_kwargs),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 1))
+
+    def flip():
+        deadline = _t.time() + 30
+        while not os.path.exists(marker) and _t.time() < deadline:
+            _t.sleep(0.05)
+        _t.sleep(0.4)        # a few more old-version blocks flow first
+        _write_csv(p, [("k", "new")])
+        os.utime(p, (os.path.getmtime(p) + 10,) * 2)
+        ray.get(svc.refresh.remote(force=True))
+
+    th = threading.Thread(target=flip)
+    th.start()
+    out = out_ds.to_pandas()
+    th.join()
+    assert len(out) == n
+    assert set(out["t"]) == {"old", "new"}
+    ray.kill(svc)
