@@ -205,10 +205,11 @@ def q_sort_limit(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash groupby, keep min doc_id."""
-    from logstash_filter_translate_ray.functions.dedup import exact_dedup
+    """Exact dedup: content-hash groupby + native min aggregate (no
+    per-group callbacks)."""
+    from logstash_filter_translate_ray.functions.dedup import exact_dedup_ids
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(ds).select_columns(["doc_id"])
+    return exact_dedup_ids(ds)
 
 
 def q_token_count(sf_dir: str):
@@ -383,7 +384,8 @@ def q_ivf_topk(sf_dir: str):
         .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
     qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, qv, k=10, n_cells=16, n_probe=4)[["vec_id"]]
+    return ivf_topk(ds, qv, k=10, n_cells=16, n_probe=4,
+                    cache_key=os.path.join(sf_dir, "embeddings.parquet"))[["vec_id"]]
 
 
 def q_winnow(sf_dir: str):

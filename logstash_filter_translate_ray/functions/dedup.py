@@ -132,7 +132,8 @@ def add_content_hash(tbl: pa.Table, col: str = "text",
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct content (hash-partition + per-group
     first). The groupby shuffles only (hash, id) pairs logically; Ray Data
-    hash-partitions the blocks by the groupby key."""
+    hash-partitions the blocks by the groupby key. Keeps FULL rows — for
+    id-only consumers :func:`exact_dedup_ids` is a pure native aggregate."""
     hashed = ds.map_batches(lambda t: add_content_hash(t, col),
                             batch_format="pyarrow", batch_size=None)
 
@@ -142,6 +143,17 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     return hashed.groupby("content_hash") \
         .map_groups(first_per_group, batch_format="pandas") \
         .drop_columns(["content_hash"])
+
+
+def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
+    """Surviving ids only: content-hash groupby + NATIVE min aggregate —
+    no per-group callbacks at all (the 10^8-group shape)."""
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, col).select(["content_hash", id_col]),
+        batch_format="pyarrow", batch_size=None)
+    out = hashed.groupby("content_hash").min(id_col)
+    return out.rename_columns({f"min({id_col})": id_col}) \
+        .select_columns([id_col])
 
 
 # ---------------------------------------------------------------------------

@@ -246,14 +246,26 @@ class LshIndexStage:
         return tbl.append_column("lsh_bucket", pa.array(sig))
 
 
+_IVF_CENTROID_CACHE: dict = {}
+
+
 def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
                         iters: int = 10, seed: int = 42,
-                        vec_col: str = "embedding") -> np.ndarray:
+                        vec_col: str = "embedding",
+                        cache_key: Optional[str] = None) -> np.ndarray:
     """Driver-side k-means on a seeded sample → IVF coarse centroids.
 
     The sample (≤ sample_n rows) is the only data pulled to the driver;
     Lloyd iterations are numpy matmuls. Deterministic (seeded init, no
-    wall-clock)."""
+    wall-clock). Pass ``cache_key`` (a dataset fingerprint — e.g. its
+    source path) to persist centroids in-process: repeated ``ivf_topk``
+    calls against the same dataset skip both the sample pull and the
+    k-means pass entirely."""
+    if cache_key is not None:
+        ck = (cache_key, n_cells, sample_n, iters, seed, vec_col)
+        hit = _IVF_CENTROID_CACHE.get(ck)
+        if hit is not None:
+            return hit
     sample = ds.limit(sample_n).to_pandas()
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
@@ -267,21 +279,26 @@ def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cent[c] = v / n
+    if cache_key is not None:
+        _IVF_CENTROID_CACHE[ck] = cent
     return cent
 
 
 def ivf_topk(ds, query: np.ndarray, k: int = 10, n_cells: int = 16,
              n_probe: int = 4, seed: int = 42,
-             vec_col: str = "embedding", id_col: str = "vec_id"):
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             cache_key: Optional[str] = None):
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid (one matmul per batch against the broadcast centroids), search
     only the ``n_probe`` cells nearest the query. The scale path for ANN:
-    candidate set shrinks ~n_cells/n_probe-fold; centroids build once."""
+    candidate set shrinks ~n_cells/n_probe-fold; centroids build once per
+    ``cache_key`` (dataset fingerprint) and are reused across calls."""
     import ray
 
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     qn = _normalize(q)
-    cent = build_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col)
+    cent = build_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col,
+                               cache_key=cache_key)
     cent_ref = ray.put(cent)
     probe_cells = set(np.argsort(-(qn @ cent.T))[0][:n_probe].tolist())
     probe_ref = ray.put(probe_cells)

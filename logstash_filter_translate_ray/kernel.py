@@ -144,7 +144,12 @@ class DictSnapshot:
             self._regex_rows = rows
         return self._regex_rows
 
-    REGEX_GROUP_SIZE = 32
+    REGEX_GROUP_SIZE = 32      # patterns OR-ed per alternation group
+    # Dict size at which the two-level (grouped-alternation) path takes
+    # over. Micro-benched at 100k rows (BASELINE.md): low-match batches are
+    # 2-3× faster grouped from K=8 up; high-match batches pay ≤17% for the
+    # extra alternation pass at K≥16. 16 is the balanced crossover.
+    REGEX_GROUPED_MIN = 16
 
     @property
     def regex_groups(self) -> list[tuple[int, int, Optional[str]]]:
@@ -401,7 +406,7 @@ def lookup_exact_regex(src: pa.Array, snap: DictSnapshot,
         remaining &= candidates
     src_np: Optional[np.ndarray] = None
     rows = snap.regex_rows
-    if len(rows) > DictSnapshot.REGEX_GROUP_SIZE:
+    if len(rows) >= DictSnapshot.REGEX_GROUPED_MIN:
         # two-level path: one alternation pass per group of 32 keys finds
         # the hit rows; first-match-wins is resolved only on those rows
         for start, end, group_pat in snap.regex_groups:
@@ -423,15 +428,21 @@ def lookup_exact_regex(src: pa.Array, snap: DictSnapshot,
             if end - start == 1:
                 match_idx[hits] = start
             else:
-                if src_np is None:
-                    src_np = src.to_numpy(zero_copy_only=False)
+                # vectorized first-match resolution: per-pattern RE2 passes
+                # over the HIT SUBSET only (grouped patterns are arrow-safe
+                # by construction), shrinking as earlier keys claim rows —
+                # no per-row Python
                 idxs = np.nonzero(hits)[0]
-                for i in idxs:
-                    s = src_np[i]
-                    for j in range(start, end):
-                        if rows[j][1].search(s):
-                            match_idx[i] = j
-                            break
+                sub = src.take(pa.array(idxs, type=pa.int64()))
+                sub_rem = np.ones(len(idxs), dtype=bool)
+                for j in range(start, end):
+                    if not sub_rem.any():
+                        break
+                    mj = pc.match_substring_regex(sub, pattern=rows[j][0]) \
+                        .to_numpy(zero_copy_only=False)
+                    newly = np.asarray(mj, dtype=bool) & sub_rem
+                    match_idx[idxs[newly]] = j
+                    sub_rem &= ~newly
             remaining &= ~(match_idx >= 0)
     else:
         for j, (raw, compiled, arrow_ok) in enumerate(rows):

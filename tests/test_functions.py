@@ -284,3 +284,26 @@ def test_embedding_neardup_lsh_recall(emb_ds):
         assert abs(c - loose_pairs[p]) < 1e-5
     recall = len(approx_pairs) / max(1, len(exact_pairs))
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(approx_pairs)}/{len(exact_pairs)})"
+
+
+def test_ivf_centroid_cache_skips_kmeans(emb_ds):
+    """Second ivf_topk with the same cache_key must reuse centroids
+    (provably: a poisoned cache entry is what the second call returns)."""
+    import numpy as np
+    from logstash_filter_translate_ray.functions import similarity
+
+    similarity._IVF_CENTROID_CACHE.clear()
+    c1 = similarity.build_ivf_centroids(emb_ds, n_cells=4, cache_key="fp-x")
+    assert len(similarity._IVF_CENTROID_CACHE) == 1
+    c2 = similarity.build_ivf_centroids(emb_ds, n_cells=4, cache_key="fp-x")
+    assert c2 is c1                      # same object → k-means skipped
+    # poisoned entry is returned verbatim → the cache is authoritative
+    key = next(iter(similarity._IVF_CENTROID_CACHE))
+    poisoned = np.zeros_like(c1)
+    similarity._IVF_CENTROID_CACHE[key] = poisoned
+    assert similarity.build_ivf_centroids(emb_ds, n_cells=4,
+                                          cache_key="fp-x") is poisoned
+    # different fingerprint → rebuild
+    c3 = similarity.build_ivf_centroids(emb_ds, n_cells=4, cache_key="fp-y")
+    assert c3 is not poisoned and np.allclose(c3, c1)
+    similarity._IVF_CENTROID_CACHE.clear()
