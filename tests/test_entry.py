@@ -62,3 +62,36 @@ def test_query_runs(ray_session, sf_dir, con, name):
     assert list(g.columns) == list(w.columns), (g.columns, w.columns)
     assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_like=True)
+
+
+def test_transcripts_pipeline_vs_duckdb(ray_session, sf_dir, con):
+    """Flagship DAG per-sink counts vs a DuckDB reconstruction of the same
+    parse → enrich → route chain over the SAME transcripts parquet. Kept
+    out of oracle_sql() only because the driver's DuckDB reading /tmp is an
+    untested assumption (CLAUDE.md backlog); this pytest closes the gap
+    with a connection where file access is known-good."""
+    from logstash_filter_translate_ray.pipelines.transcripts import (
+        ROLE_ROUTES, TOOL_DICT)
+
+    got = to_pandas(entry_mod.q_transcripts_pipeline(sf_dir))
+    tdir = entry_mod._transcripts_dir(sf_dir)
+    route_case = " ".join(f"WHEN role = '{k}' THEN '{v}'"
+                          for k, v in ROLE_ROUTES.items())
+    tool_case = " ".join(f"WHEN tn = '{k}' THEN '{v}'"
+                         for k, v in TOOL_DICT.items())
+    sql = (
+        f"WITH t AS (SELECT role, tool FROM read_parquet('{tdir}/*.parquet')), "
+        "e AS (SELECT "
+        f"CASE WHEN role IS NULL THEN NULL {route_case} ELSE 'other' END AS route, "
+        "CASE WHEN tool IS NULL OR NOT regexp_matches(tool, '^\\s*[a-z_]+') "
+        "THEN NULL ELSE regexp_extract(tool, '^\\s*([a-z_]+)', 1) END AS tn "
+        "FROM t) "
+        # '(null)' mirrors grouped_counts' null-key sentinel
+        "SELECT COALESCE(route, '(null)') AS route, "
+        f"COALESCE(CASE WHEN tn IS NULL THEN NULL {tool_case} "
+        "ELSE 'no tool' END, '(null)') AS tool_label, COUNT(*) AS n "
+        "FROM e GROUP BY 1, 2")
+    want = con.execute(sql).df()
+    g, w = canon(got), canon(want)
+    assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_like=True)
