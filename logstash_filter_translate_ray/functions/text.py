@@ -167,7 +167,7 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
         return [int(hashes.min())]
     from numpy.lib.stride_tricks import sliding_window_view
     mins = sliding_window_view(hashes, w).min(axis=1)
-    return sorted(set(int(x) for x in mins))
+    return np.unique(mins).tolist()    # sorted + deduped, no per-item Python
 
 
 def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
