@@ -268,18 +268,66 @@ def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), type=pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # in-group pair dedupe BEFORE the global distinct shuffle: a pair
+        # sharing many buckets in one group would otherwise be emitted once
+        # per bucket (hot-vocab inputs blow up ~100×); pack to one uint64
+        # when ids fit 32 bits so np.unique does it in one pass
+        if len(a) and 0 <= a.min() and max(a.max(), b.max()) < 2**31:
+            packed = np.unique((a.astype(np.uint64) << np.uint64(32))
+                               | b.astype(np.uint64))
+            a = (packed >> np.uint64(32)).astype(np.int64)
+            b = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64())})
 
     return bucketed_ds.map_batches(add_gb, batch_format="pyarrow",
                                    batch_size=None) \
         .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
 
 
-def distinct_pairs(pairs_ds):
-    """Distributed pair dedupe: native hash aggregate, no per-group calls."""
-    return pairs_ds.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
+def distinct_pairs(pairs_ds, num_groups: int = 64, carry: tuple = ()):
+    """Distributed pair dedupe: ONE shuffle on a pair-hash bucket, then a
+    vectorized lexsort-unique per group. (Ray's native multi-key count
+    aggregate measured ~30× slower on a 2M-row/124k-group pair list than
+    this shape — per-group accumulator overhead.) ``carry`` columns keep
+    the first surviving row's value (callers use it when the value is
+    identical across a pair's duplicates, e.g. a deterministic score)."""
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a * _HASH_MIX) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        gb = ((key * _HASH_MIX) >> np.uint64(33)) % np.uint64(num_groups)
+        return t.append_column("_gb", pa.array(gb.astype(np.int64)))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {"id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64())}
+            for c in carry:
+                cols[c] = pa.array([], type=t.schema.field(c).type
+                                   if c in t.column_names else pa.float64())
+            return pa.table(cols)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        cols = {"id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64())}
+        if carry:
+            kidx = pa.array(np.asarray(order)[keep], type=pa.int64())
+            for c in carry:
+                col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+                cols[c] = pc.take(col, kidx)
+        return pa.table(cols)
+
+    return pairs_ds.map_batches(add_gb, batch_format="pyarrow",
+                                batch_size=None) \
+        .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
@@ -342,12 +390,20 @@ def _jaccard_from_blobs(a: bytes, b: bytes) -> float:
 
 def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
-                           num_partitions: int = 8):
+                           num_partitions: int = 4):
     """Attach both docs' shingle sets to every candidate pair via two hash
     joins, then compute EXACT Jaccard inside map_batches — the verify is
     distributed; the driver never sees a text. Returns a Dataset
     (id_a, id_b, jaccard)."""
     sig = shingle_set_dataset(docs_ds, col, id_col, k)
+    # repartition + materialize both operands: upstream groupby/filter
+    # stages can leave zero-column empty blocks that the per-partition
+    # Acero join rejects, and stacking repartitions + two joins in ONE
+    # streaming DAG can starve a small CPU budget into a wedge. The sig
+    # materialization is bounded by the per-doc shingle blobs (the join
+    # shuffles that payload regardless).
+    pairs_ds = pairs_ds.repartition(num_partitions).materialize()
+    sig = sig.repartition(num_partitions).materialize()
     j1 = pairs_ds.join(sig, "inner", num_partitions,
                        on=("id_a",), right_on=(id_col,)) \
         .rename_columns({"sh_set": "_sh_a"})
@@ -394,14 +450,86 @@ def connected_components(pairs: Iterable[tuple]) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def minlabel_components(pairs_ds, num_partitions: int = 4,
+                        max_iters: int = 25):
+    """DISTRIBUTED connected components over a candidate-pair Dataset
+    (id_a, id_b) by min-label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbors (one hash join + one
+    groupby-min per round; rounds = component diameter, shallow for
+    near-dup clusters). Returns a Dataset (node, label) covering every node
+    that appears in a pair, label = min node id of its component.
+
+    This is the scale path for :func:`connected_components` when the
+    verified pair list outgrows the driver; for small pair lists the
+    driver union-find is cheaper (no shuffles)."""
+    import pyarrow.compute as _pc
+
+    def _both(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    # NB: several operators (hash groupby, filters) can leave zero-COLUMN
+    # empty blocks in a dataset, which Dataset.join's per-partition Acero
+    # join rejects ("no match for key field") — a repartition squashes them
+    # back into schema'd blocks, so every join operand goes through _norm.
+    def _norm(d):
+        return d.repartition(num_partitions)
+
+    edges = _norm(pairs_ds.map_batches(_both, batch_format="pyarrow",
+                                       batch_size=None)).materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"],
+                         "label": _pc.min_element_wise(t["src"],
+                                                       t["min(dst)"])})
+
+    labels = _norm(edges.groupby("src").min("dst")
+                   .map_batches(_init, batch_format="pyarrow",
+                                batch_size=None)).materialize()
+
+    for _ in range(max_iters):
+        nbr = _norm(edges.join(labels, "inner", num_partitions,
+                               on=("dst",), right_on=("node",))
+                    .groupby("src").min("label"))   # (src, min(label))
+        merged = nbr.join(labels, "inner", num_partitions,
+                          on=("src",), right_on=("node",))
+
+        def _step(t: pa.Table) -> pa.Table:
+            new = _pc.min_element_wise(t["min(label)"], t["label"])
+            changed = _pc.sum(_pc.cast(_pc.less(new, t["label"]),
+                                       pa.int64())).as_py() or 0
+            return pa.table({"node": t["src"], "label": new,
+                             "_changed": pa.array([changed] * len(t),
+                                                  type=pa.int64())})
+
+        stepped = merged.map_batches(_step, batch_format="pyarrow",
+                                     batch_size=None).materialize()
+        changed = stepped.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [t["_changed"][0].as_py() if len(t) else 0], type=pa.int64())}),
+            batch_format="pyarrow", batch_size=None).sum("c")
+        labels = _norm(stepped.drop_columns(["_changed"])).materialize()
+        if not changed:
+            break
+    return labels
+
+
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   k: int = 3, num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.8, concurrency: int = 4,
-                  num_partitions: int = 8):
+                  num_partitions: int = 4, cc: str = "driver"):
     """Full near-dup pipeline: LSH candidates → distributed Jaccard verify
     (join-attached shingle sets, see :func:`verified_jaccard_pairs`) →
-    keep min-id per component. Returns (deduped_dataset, dropped_id_list).
-    Only VERIFIED pairs (small by construction) reach the driver."""
+    keep min-id per component. Returns (deduped_dataset, dropped_ids).
+
+    ``cc='driver'`` (default): union-find over the VERIFIED pair list on
+    the driver (sparse-duplicate assumption); ``dropped_ids`` is a sorted
+    Python list and the survivor filter is a broadcast set. ``cc=
+    'distributed'``: :func:`minlabel_components` + a hash-join survivor
+    filter — nothing pair-shaped ever reaches the driver; ``dropped_ids``
+    is a Dataset of (node, label)."""
     import ray
 
     # materialize the PAIR LIST (small by construction) so the empty case is
@@ -409,9 +537,34 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
     cand = minhash_candidate_pairs(ds, col, id_col, k, num_perm, bands,
                                    concurrency).materialize()
     if cand.count() == 0:
-        return ds, []
-    ver = verified_jaccard_pairs(cand, ds, col, id_col, k,
-                                 num_partitions).to_pandas()
+        return ds, ([] if cc == "driver" else cand)
+    ver_ds = verified_jaccard_pairs(cand, ds, col, id_col, k, num_partitions)
+
+    if cc == "distributed":
+        thr = ver_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
+            .select(["id_a", "id_b"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+        if thr.count() == 0:
+            return ds, thr
+        labels = minlabel_components(thr, num_partitions)
+        dropped = labels.map_batches(
+            lambda t: t.filter(pc.not_equal(t["node"], t["label"])),
+            batch_format="pyarrow", batch_size=None).materialize()
+        # anti-join survivor filter: flag dropped ids, left-join, keep nulls
+        # (repartition: see minlabel_components zero-column-block note)
+        flagged = dropped.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "_drop": pa.array([True] * len(t))}),
+            batch_format="pyarrow", batch_size=None).repartition(num_partitions)
+        joined = ds.join(flagged, "left_outer", num_partitions,
+                         on=(id_col,), right_on=("node",))
+        kept = joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"]),
+            batch_format="pyarrow", batch_size=None)
+        return kept, dropped
+
+    ver = ver_ds.to_pandas()
     verified = ver[ver["jaccard"] >= threshold]
     if len(verified) == 0:
         return ds, []
@@ -521,7 +674,7 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
                         concurrency: int = 4, sample_mod: int = 1,
                         hot_cap: Optional[int] = 200,
-                        num_groups: int = 64, num_partitions: int = 8):
+                        num_groups: int = 64, num_partitions: int = 4):
     """Candidate pairs sharing ≥1 (sampled) shingle, then DISTRIBUTED exact
     Jaccard (join-attached shingle sets) — returns a pandas frame
     (id_a, id_b, jaccard ≥ threshold); only the thresholded result reaches

@@ -307,3 +307,51 @@ def test_ivf_centroid_cache_skips_kmeans(emb_ds):
     c3 = similarity.build_ivf_centroids(emb_ds, n_cells=4, cache_key="fp-y")
     assert c3 is not poisoned and np.allclose(c3, c1)
     similarity._IVF_CENTROID_CACHE.clear()
+
+
+def test_minlabel_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a random
+    graph (chains force multi-round propagation)."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    # several chains + stars + singleton pairs
+    pairs = []
+    base = 0
+    for clen in [2, 3, 5, 8, 13]:          # chains: diameter forces rounds
+        for i in range(clen - 1):
+            pairs.append((base + i, base + i + 1))
+        base += clen
+    for _ in range(30):                     # random extra edges
+        a, b = rng.randint(0, base, 2)
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    tbl = pa.table({"id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "id_b": pa.array([p[1] for p in pairs], type=pa.int64())})
+    comp = dedup.connected_components(pairs)
+    roots = {x: r for x, r in comp.items()}
+    got = dedup.minlabel_components(rd.from_arrow(tbl)).to_pandas()
+    got_map = dict(zip(got["node"], got["label"]))
+    assert set(got_map) == set(roots)
+    for node, label in got_map.items():
+        assert label == roots[node], (node, label, roots[node])
+
+
+def test_minhash_dedup_distributed_cc_matches_driver(ray_session):
+    """cc='distributed' (min-label + anti-join filter) keeps the same
+    survivors as the default driver union-find."""
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts = [base, base.replace("lazy", "sleepy"), base.replace("dog", "cat"),
+             "completely different content about ray data pipelines at scale",
+             "another unrelated document speaking of benchmarks and engines"]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "text": texts})
+    ds = rd.from_arrow(tbl)
+    kept_drv, drop_drv = dedup.minhash_dedup(ds, threshold=0.5, concurrency=1)
+    kept_dist, drop_dist = dedup.minhash_dedup(ds, threshold=0.5,
+                                               concurrency=1,
+                                               cc="distributed")
+    a = sorted(kept_drv.to_pandas()["doc_id"])
+    b = sorted(kept_dist.to_pandas()["doc_id"])
+    assert a == b
+    assert sorted(drop_dist.to_pandas()["node"]) == drop_drv
