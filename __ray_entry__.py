@@ -358,6 +358,14 @@ def q_translate_iterate_maps(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_vocab_topk(sf_dir: str):
+    """Top-20 vocabulary by occurrence (map-reduce wordcount shape:
+    per-batch np.unique partials → native sum → distributed sort+limit)."""
+    from logstash_filter_translate_ray.functions.text import vocab_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_topk(ds, k=20)
+
+
 def q_quality_scores(sf_dir: str):
     """Composite quality scoring — SQL-mirrored float64 arithmetic (the
     oracle reproduces the exact operation ORDER, so IEEE doubles match
@@ -588,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "translate_file_dict": q_translate_file_dict,
         "translate_iterate_maps": q_translate_iterate_maps,
         "quality_scores": q_quality_scores,
+        "vocab_topk": q_vocab_topk,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_pipeline": q_events_pipeline,
@@ -802,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type FROM events UNION ALL "
             "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
+        "vocab_topk":
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM documents) GROUP BY word "
+            "ORDER BY n DESC, word LIMIT 20",
         "quality_scores": _quality_sql(),
         "simhash": _simhash_sql(),
         "winnow": _winnow_sql(),

@@ -218,3 +218,28 @@ def fingerprint_batch(tbl: pa.Table, col: str = "text",
 def fingerprint_dataset(ds, col: str = "text"):
     return ds.map_batches(lambda t: fingerprint_batch(t, col),
                           batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary top-k (combiner word count — the map-reduce wordcount shape)
+# ---------------------------------------------------------------------------
+
+def vocab_topk(ds, col: str = "text", k: int = 20):
+    """Top-k vocabulary by occurrence count. Combiner shape: per-batch
+    partial counts via one ``np.unique`` (the shuffle moves only
+    vocab × blocks rows, not one row per token), native sum aggregate,
+    distributed (count desc, word asc) sort, limit k."""
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        toks = [w for x in texts for w in (x or "").split()]
+        if not toks:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        words, counts = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+        return pa.table({"word": pa.array(words.tolist(), type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("word").sum("n").rename_columns({"sum(n)": "n"})
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
