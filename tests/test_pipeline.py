@@ -335,3 +335,25 @@ def test_regex_route_dataset(ray_session):
                         key="path", default_route="web",
                         regex=True).to_pandas()
     assert out["route"].tolist() == ["api", "assets", "ops", "web"]
+
+
+def test_grouped_counts_skewed_hot_key(ray_session):
+    """north_rule skew clause: one key holding 50% of all rows must not
+    break (or mis-count through) the distributed-merge path — the per-batch
+    combiner partials ARE the salt (a hot key contributes one row per
+    block to the shuffle, not one per event)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+
+    n = 200_000
+    rng = np.random.RandomState(3)
+    keys = np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 1000, n))
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys, type=pa.int64())}))
+    ds = ds.repartition(16)
+    out = grouped_counts(ds, ["user_id"], driver_merge=False).to_pandas()
+    want = {k: c for k, c in zip(*np.unique(keys, return_counts=True))}
+    got = dict(zip(out["user_id"], out["n"]))
+    assert got == want
+    assert got[0] > n * 0.45          # the hot key really is hot
