@@ -129,20 +129,36 @@ def add_content_hash(tbl: pa.Table, col: str = "text",
     return tbl.append_column(out, pa.array(h, type=pa.string()))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct content (hash-partition + per-group
-    first). The groupby shuffles only (hash, id) pairs logically; Ray Data
-    hash-partitions the blocks by the groupby key. Keeps FULL rows — for
-    id-only consumers :func:`exact_dedup_ids` is a pure native aggregate."""
-    hashed = ds.map_batches(lambda t: add_content_hash(t, col),
-                            batch_format="pyarrow", batch_size=None)
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                num_groups: int = 64):
+    """Keep the min-id row per distinct content. Hash-BUCKETED groupby
+    (``num_groups`` vectorized group calls, not one per distinct content):
+    inside a group, sort by (hash, id) and take each segment's first row —
+    no per-group pandas frames. Keeps FULL rows; for id-only consumers
+    :func:`exact_dedup_ids` is a pure native aggregate."""
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def add_hash_gb(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, col)
+        h = np.frombuffer(
+            b"".join(bytes.fromhex(x[:16])
+                     for x in t["content_hash"].to_pylist()),
+            dtype=np.uint64) if len(t) else np.empty(0, np.uint64)
+        return t.append_column("_gb", pa.array(_group_of(h, num_groups)))
 
-    return hashed.groupby("content_hash") \
-        .map_groups(first_per_group, batch_format="pandas") \
-        .drop_columns(["content_hash"])
+    def per_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.drop_columns(["content_hash", "_gb"])
+        idx = pc.sort_indices(t, sort_keys=[("content_hash", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        h = t["content_hash"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(t), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return t.filter(pa.array(first)).drop_columns(["content_hash", "_gb"])
+
+    return ds.map_batches(add_hash_gb, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
 
 
 def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):

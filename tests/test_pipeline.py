@@ -357,3 +357,25 @@ def test_grouped_counts_skewed_hot_key(ray_session):
     got = dict(zip(out["user_id"], out["n"]))
     assert got == want
     assert got[0] > n * 0.45          # the hot key really is hot
+
+
+def test_window_ops_ns_timestamp_unit(ray_session):
+    """ADVICE regression: gaps must be µs even when the ts column is stored
+    as timestamp[ns] (a bare int64 view would be 1000× off)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.window import prev_event_gap
+
+    base = np.datetime64("2026-01-01T00:00:00", "ns")
+    ts = pa.array([base, base + np.timedelta64(5, "s"),
+                   base + np.timedelta64(65, "s")],
+                  type=pa.timestamp("ns"))
+    tbl = pa.table({"user_id": ["u", "u", "u"],
+                    "event_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "ts": ts})
+    out = prev_event_gap(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("event_id")
+    gaps = out["gap_us"].tolist()
+    assert np.isnan(gaps[0])
+    assert gaps[1] == 5_000_000.0 and gaps[2] == 60_000_000.0
