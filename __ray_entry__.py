@@ -358,6 +358,14 @@ def q_translate_iterate_maps(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_zscore_outliers(sf_dir: str):
+    """Per-type z-score anomaly flag (|z| > 2). Exact int64 cent sums make
+    the float math order-independent and SQL-mirrorable."""
+    from logstash_filter_translate_ray.stages.aggregate import zscore_outliers
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_outliers(ds, key="event_type", val="value", threshold=2.0)
+
+
 def q_vocab_topk(sf_dir: str):
     """Top-20 vocabulary by occurrence (map-reduce wordcount shape:
     per-batch np.unique partials → native sum → distributed sort+limit)."""
@@ -597,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "translate_iterate_maps": q_translate_iterate_maps,
         "quality_scores": q_quality_scores,
         "vocab_topk": q_vocab_topk,
+        "zscore_outliers": q_zscore_outliers,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_pipeline": q_events_pipeline,
@@ -816,6 +825,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
             "FROM documents) GROUP BY word "
             "ORDER BY n DESC, word LIMIT 20",
+        "zscore_outliers":
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, COUNT(cents) AS cnt, SUM(cents) AS s1, "
+            "SUM(cents * cents) AS s2 FROM c GROUP BY event_type), "
+            "st AS (SELECT event_type, CAST(s1 AS DOUBLE)/cnt AS mean, "
+            "sqrt(CAST(s2 AS DOUBLE)/cnt - (CAST(s1 AS DOUBLE)/cnt) * "
+            "(CAST(s1 AS DOUBLE)/cnt)) AS std FROM s) "
+            "SELECT c.event_id, c.event_type, "
+            "(CAST(c.cents AS DOUBLE) - st.mean)/st.std AS z "
+            "FROM c JOIN st USING (event_type) "
+            "WHERE isfinite((CAST(c.cents AS DOUBLE) - st.mean)/st.std) "
+            "AND abs((CAST(c.cents AS DOUBLE) - st.mean)/st.std) > 2.0",
         "quality_scores": _quality_sql(),
         "simhash": _simhash_sql(),
         "winnow": _winnow_sql(),

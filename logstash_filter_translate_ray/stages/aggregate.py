@@ -87,3 +87,56 @@ def conv_turn_counts(ds: "ray.data.Dataset", conv_col: str = "conv_id",
     the per-batch partials (skew-safe, see module docstring)."""
     return grouped_counts(ds, [conv_col], count_name="turns",
                           driver_merge=driver_merge)
+
+
+def zscore_outliers(ds, key: str = "event_type", val: str = "value",
+                    threshold: float = 2.0, id_col: str = "event_id"):
+    """Per-key z-score anomaly flag (two-pass, broadcast stats):
+
+    pass 1 — combiner partials (count, Σcents, Σcents²) per key inside
+    ``map_batches`` (exact int64 sums on cents, so the merged statistics
+    are order-independent), tiny driver merge (low-cardinality key);
+    pass 2 — broadcast the per-key (mean, std) and compute
+    ``z = (cents - mean) / std`` vectorized per batch, keeping |z| > t.
+
+    Population std from exact integer sums, so the float math is
+    bit-reproducible and SQL-mirrorable: mean = Σc/n;
+    var = Σc²/n − mean²; z = (c − mean)/std — same op order in the oracle.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t[val], 100.0)), pa.int64())
+        sub = pa.table({key: t[key], "c": cents,
+                        "c2": pc.multiply(cents, cents)})
+        return sub.group_by([key]).aggregate(
+            [("c", "count"), ("c", "sum"), ("c2", "sum")]) \
+            .rename_columns([key, "cnt", "s1", "s2"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    stats = parts.groupby(key, as_index=False)[["cnt", "s1", "s2"]].sum()
+    mean = stats["s1"].astype("float64") / stats["cnt"]
+    var = stats["s2"].astype("float64") / stats["cnt"] - mean * mean
+    std = np.sqrt(var)
+    lut = {k: (m, s) for k, m, s in zip(stats[key], mean, std)}
+    ref = ray.put(lut)
+
+    def flag(t: pa.Table) -> pa.Table:
+        table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cents = pc.cast(pc.round(pc.multiply(t[val], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ks = t[key].to_numpy(zero_copy_only=False)
+        ms = np.fromiter((table[k][0] for k in ks), dtype=np.float64,
+                         count=len(t))
+        ss = np.fromiter((table[k][1] for k in ks), dtype=np.float64,
+                         count=len(t))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (cents - ms) / ss
+        keep = np.abs(z) > threshold
+        out = pa.table({id_col: t[id_col], key: t[key],
+                        "z": pa.array(z)})
+        return out.filter(pa.array(keep & np.isfinite(z)))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
