@@ -168,8 +168,10 @@ def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
         lambda t: add_content_hash(t, col).select(["content_hash", id_col]),
         batch_format="pyarrow", batch_size=None)
     out = hashed.groupby("content_hash").min(id_col)
-    return out.rename_columns({f"min({id_col})": id_col}) \
-        .select_columns([id_col])
+    # batch-level rename (Dataset.rename_columns logs schema-change noise)
+    return out.map_batches(
+        lambda t: pa.table({id_col: t[f"min({id_col})"]}),
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +424,9 @@ def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
     sig = sig.repartition(num_partitions).materialize()
     j1 = pairs_ds.join(sig, "inner", num_partitions,
                        on=("id_a",), right_on=(id_col,)) \
-        .rename_columns({"sh_set": "_sh_a"})
+        .map_batches(lambda t: t.rename_columns(
+            [{"sh_set": "_sh_a"}.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow", batch_size=None)
     j2 = j1.join(sig, "inner", num_partitions,
                  on=("id_b",), right_on=(id_col,))
 

@@ -241,5 +241,8 @@ def vocab_topk(ds, col: str = "text", k: int = 20):
                          "n": pa.array(counts, type=pa.int64())})
 
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .groupby("word").sum("n").rename_columns({"sum(n)": "n"})
+        .groupby("word").sum("n") \
+        .map_batches(lambda t: t.rename_columns(
+            [c.replace("sum(n)", "n") for c in t.column_names]),
+            batch_format="pyarrow", batch_size=None)
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
