@@ -6,7 +6,9 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (38; ★ = DuckDB-oracled):
+Query inventory (41; ★ = DuckDB-oracled; only lsh_topk/ivf_topk
+(approximate by design) and transcripts_pipeline (pytest-local oracle —
+tests/test_entry.py) are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
   pipeline:    events_pipeline★ transcripts_pipeline route_counts★
@@ -14,13 +16,15 @@ Query inventory (38; ★ = DuckDB-oracled):
   parse:       parse_extract★ (grok multi-capture inside events_pipeline)
   aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
                topk_users★ sort_limit★ distinct_types★ union_counts★
+               zscore_outliers★ vocab_topk★
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
-  dedup:       dedup_exact★ minhash_pairs simhash embedding_neardup★
+               event_paths★
+  dedup:       dedup_exact★ minhash_pairs★ simhash★ embedding_neardup★
                jaccard_pairs★
   similarity:  ann_topk★ lsh_topk ivf_topk
-  text:        token_count★ text_stats★ quality_scores langid fingerprint
-               winnow
-  multimodal:  multimodal_features
+  text:        token_count★ text_stats★ quality_scores★ langid★
+               fingerprint★ winnow★
+  multimodal:  multimodal_features★
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -358,6 +362,14 @@ def q_translate_iterate_maps(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (conversation-assembly shape:
+    bucketed segments + vectorized pc.binary_join)."""
+    from logstash_filter_translate_ray.stages.window import event_paths
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    return event_paths(ds)
+
+
 def q_zscore_outliers(sf_dir: str):
     """Per-type z-score anomaly flag (|z| > 2). Exact int64 cent sums make
     the float math order-independent and SQL-mirrorable."""
@@ -606,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "vocab_topk": q_vocab_topk,
         "zscore_outliers": q_zscore_outliers,
+        "event_paths": q_event_paths,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_pipeline": q_events_pipeline,
@@ -825,6 +838,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
             "FROM documents) GROUP BY word "
             "ORDER BY n DESC, word LIMIT 20",
+        "event_paths":
+            "SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM events GROUP BY user_id",
         "zscore_outliers":
             "WITH c AS (SELECT event_id, event_type, "
             "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "

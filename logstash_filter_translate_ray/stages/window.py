@@ -142,3 +142,33 @@ def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
     bucketed = _bucket_by_key_hash(ds, key, num_buckets, "_kb")
     return bucketed.groupby("_kb").map_groups(per_bucket,
                                               batch_format="pyarrow")
+
+
+def event_paths(ds, key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", val_col: str = "event_type",
+                sep: str = ">", out: str = "path",
+                num_buckets: int = 256):
+    """Per-key ordered value-sequence reconstruction (the conversation-
+    assembly shape: one row per key with its values joined in (ts, id)
+    order). Same bucketed-segmented plan as prev_event_gap; the join is
+    ``pc.binary_join`` over a ListArray — no per-key Python string work."""
+    bucketed = _bucket_by_key_hash(ds, key, num_buckets, "_kb")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key: pa.array([], type=t.schema.field(key).type),
+                             out: pa.array([], type=pa.string())})
+        t, _, boundary = _sorted_segments(t, key, ts_col, id_col)
+        starts = np.nonzero(boundary)[0]
+        offs = np.concatenate((starts, [len(t)])).astype(np.int32)
+        vals = t[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offs), pc.cast(vals, pa.string()))
+        joined = pc.binary_join(lists, sep)
+        kidx = pa.array(starts, type=pa.int64())
+        keys_arr = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+        return pa.table({key: pc.take(keys_arr, kidx), out: joined})
+
+    return bucketed.groupby("_kb").map_groups(per_bucket,
+                                              batch_format="pyarrow")
