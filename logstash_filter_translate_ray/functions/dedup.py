@@ -46,20 +46,34 @@ _EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # stands in for "" (no words)
 
 
 def _hash_words_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """All words of all docs hashed in ONE deterministic ``hash_array`` call
-    (fixed-key siphash — stable across processes/nodes).
+    """All words of all docs hashed deterministically (fixed-key siphash —
+    stable across processes/nodes), tokenized in C: Arrow
+    ``utf8_split_whitespace`` (empties filtered for str.split parity) +
+    ``dictionary_encode`` so only the VOCABULARY is hashed and token
+    hashes come from a gather (4–5× over per-token Python hashing).
     Returns (word_hashes uint64, word_ptr int64[n+1])."""
-    toks = [(t or "").split() for t in texts]
-    counts = np.fromiter((len(x) for x in toks), dtype=np.int64,
-                         count=len(toks))
-    total = int(counts.sum())
-    allw = np.empty(total, dtype=object)
-    pos = 0
-    for x in toks:
-        allw[pos:pos + len(x)] = x
-        pos += len(x)
-    wh = pd.util.hash_array(allw) if total else np.empty(0, np.uint64)
-    ptr = np.zeros(len(texts) + 1, dtype=np.int64)
+    n = len(texts)
+    arr = pa.array(texts, type=pa.string())
+    lists = pc.utf8_split_whitespace(arr)
+    lens = pc.fill_null(pc.list_value_length(lists), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_of = np.repeat(np.arange(n), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():              # leading/trailing whitespace artifacts
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+    counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    enc = flat.dictionary_encode()
+    if len(flat):
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        wh = pd.util.hash_array(uniq)[
+            enc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        wh = np.empty(0, np.uint64)
+    ptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=ptr[1:])
     return wh, ptr
 
@@ -193,17 +207,29 @@ def minhash_signatures_batch(sh: np.ndarray, sh_ptr: np.ndarray,
                              a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(n_docs × num_perm) signature matrix from concatenated shingles: one
     (P × S_chunk) modmul + ``np.minimum.reduceat`` per doc-aligned chunk —
-    no per-doc Python. Chunking bounds peak memory to
-    ``num_perm × _SIG_CHUNK_SHINGLES × 8`` bytes."""
+    no per-doc Python. ONE preallocated chunk buffer + in-place ufuncs:
+    the naive expression allocates three ~100 MB temporaries per chunk and
+    this VM charges ~50 µs/page on first touch (mmap'd temps are returned
+    to the OS on free, so EVERY chunk would re-fault) — measured 10×."""
     n = len(sh_ptr) - 1
+    total = int(sh_ptr[-1])
     sigs = np.empty((n, len(a)), dtype=np.int64)
+    buf = np.empty((len(a), min(_SIG_CHUNK_SHINGLES, max(total, 1))),
+                   dtype=np.int64)
+    a2, b2 = a[:, None], b[:, None]
     d0 = 0
     while d0 < n:
         d1 = d0 + 1
-        while d1 < n and sh_ptr[d1 + 1] - sh_ptr[d0] <= _SIG_CHUNK_SHINGLES:
+        while d1 < n and sh_ptr[d1 + 1] - sh_ptr[d0] <= buf.shape[1]:
             d1 += 1
         x = sh[sh_ptr[d0]:sh_ptr[d1]].astype(np.int64)
-        hv = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE   # P × s
+        if len(x) > buf.shape[1]:          # one doc larger than the chunk
+            hv = (a2 * x[None, :] + b2) % _MERSENNE
+        else:
+            hv = buf[:, :len(x)]
+            np.multiply(a2, x[None, :], out=hv)
+            np.add(hv, b2, out=hv)
+            np.mod(hv, _MERSENNE, out=hv)
         rel = (sh_ptr[d0:d1] - sh_ptr[d0]).astype(np.int64)
         sigs[d0:d1] = np.minimum.reduceat(hv, rel, axis=1).T
         d0 = d1
