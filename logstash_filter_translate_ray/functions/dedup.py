@@ -672,13 +672,16 @@ def simhash_batch(tbl: pa.Table, col: str = "text",
     if not len(wh):
         return tbl.append_column(out, pa.array(np.zeros(n, dtype=np.uint64)))
     doc_of = np.repeat(np.arange(n), np.diff(wptr))
-    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
-            np.uint64(1)).astype(np.int64)          # T × 64
-    contrib = 2 * bits - 1
-    acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, doc_of, contrib)
-    vals = ((acc > 0).astype(np.uint64) <<
-            np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    nw = np.diff(wptr).astype(np.float64)
+    # per-bit weighted bincount instead of a (T × 64) sign matrix: the
+    # matrix form needs ~2 × T × 512 B of fresh temporaries per batch
+    # (first-touch page faults dominate on this host) and an unbuffered
+    # np.add.at; bit j is set iff Σbits_j > T_doc/2 (exactly acc > 0)
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(64):
+        bit = ((wh >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        s = np.bincount(doc_of, weights=bit, minlength=n)
+        vals |= (2.0 * s > nw).astype(np.uint64) << np.uint64(j)
     return tbl.append_column(out, pa.array(vals))     # uint64 (SQL UBIGINT)
 
 
