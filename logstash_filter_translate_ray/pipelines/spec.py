@@ -33,6 +33,13 @@ the equivalent Ray Data pipeline:
 Every ``translate`` block takes the FULL option surface of
 :class:`~..config.TranslateConfig` (field/destination aliases, exact/regex,
 iterate_on, refresh_*, yaml_* — validation errors match the plugin's).
+
+Optional post-route clauses (applied in this order):
+
+    dedup:     {kind: exact | minhash, ...kwargs}
+    window:    {kind: tumbling | gap | sessions | paths, ...kwargs}
+    aggregate: {group_by: [route, tool_label], count_name: n,
+                driver_merge: false}
 """
 
 from __future__ import annotations
@@ -106,6 +113,41 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
         r = s["route"]
         ds = route_dataset(ds, dict(r["routes"]), key=r.get("key", "role"),
                            default_route=r.get("default", "other"))
+
+    if "dedup" in s:
+        d = dict(s["dedup"])
+        kind = d.pop("kind", "exact")
+        from ..functions import dedup as _dedup
+        if kind == "exact":
+            ds = _dedup.exact_dedup(ds, **d)
+        elif kind == "minhash":
+            ds, _dropped = _dedup.minhash_dedup(ds, **d)
+        else:
+            raise ConfigurationError(f"unknown dedup kind {kind!r}")
+
+    if "window" in s:
+        w = dict(s["window"])
+        kind = w.pop("kind", None)
+        from ..stages import window as _win
+        fns = {"tumbling": _win.tumbling_counts,
+               "gap": _win.prev_event_gap,
+               "sessions": _win.session_counts,
+               "paths": _win.event_paths}
+        if kind not in fns:
+            raise ConfigurationError(
+                f"window.kind must be one of {sorted(fns)}, got {kind!r}")
+        ds = fns[kind](ds, **w)
+
+    if "aggregate" in s:
+        a = dict(s["aggregate"])
+        keys = a.pop("group_by", None)
+        if not keys:
+            raise ConfigurationError("aggregate requires group_by")
+        from ..stages.aggregate import grouped_counts
+        res = grouped_counts(ds, list(keys),
+                             count_name=a.pop("count_name", "n"),
+                             driver_merge=a.pop("driver_merge", False))
+        ds = rd.from_pandas(res) if not hasattr(res, "map_batches") else res
     return ds
 
 

@@ -379,3 +379,53 @@ def test_window_ops_ns_timestamp_unit(ray_session):
     gaps = out["gap_us"].tolist()
     assert np.isnan(gaps[0])
     assert gaps[1] == 5_000_000.0 and gaps[2] == 60_000_000.0
+
+
+def test_spec_window_and_aggregate_clauses(ray_session, tmp_path):
+    """Declarative spec: dedup/window/aggregate clauses build the same
+    results as the library calls."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+
+    n = 2000
+    rng = np.random.RandomState(5)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "user_id": pa.array([f"u{i}" for i in rng.randint(0, 50, n)]),
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array(np.array(["a", "b", "c"])[rng.randint(0, 3, n)]),
+        "ts": pa.array(base + rng.randint(0, 10**9, n).astype("timedelta64[us]"),
+                       type=pa.timestamp("us")),
+    })
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, p)
+
+    agg = build_from_spec({
+        "input": {"path": p},
+        "aggregate": {"group_by": ["event_type"], "driver_merge": True},
+    }).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = {k: int(c) for k, c in
+            zip(*np.unique(tbl["event_type"].to_pylist(), return_counts=True))}
+    assert dict(zip(agg["event_type"], agg["n"])) == want
+
+    sess = build_from_spec({
+        "input": {"path": p},
+        "window": {"kind": "sessions", "key": "user_id", "gap": "30min"},
+    }).to_pandas()
+    assert len(sess) == 50 and (sess["n_sessions"] >= 1).all()
+
+    paths = build_from_spec({
+        "input": {"path": p},
+        "window": {"kind": "paths", "key": "user_id",
+                   "val_col": "event_type"},
+    }).to_pandas()
+    assert len(paths) == 50 and paths["path"].str.contains(">").all()
+
+    ded = build_from_spec({
+        "input": {"path": p},
+        "dedup": {"kind": "exact", "col": "event_type",
+                  "id_col": "event_id"},
+    }).to_pandas()
+    assert len(ded) == 3      # one survivor per distinct event_type
