@@ -134,5 +134,9 @@ def get_or_create_dictionary_service(name: str, **kwargs) -> "ray.actor.ActorHan
     scales down, killing the dictionary for every other stage. Detached
     actors live until the Ray session ends (or an explicit ``ray.kill``).
     """
+    # explicit namespace: a detached actor in the session's anonymous
+    # namespace triggers a per-creation Ray warning and cannot be found by
+    # other jobs; a fixed namespace makes get-or-create deterministic
     return DictionaryService.options(
-        name=name, get_if_exists=True, lifetime="detached").remote(**kwargs)
+        name=name, namespace="lftr-dictionaries", get_if_exists=True,
+        lifetime="detached").remote(**kwargs)

@@ -58,3 +58,44 @@ def test_translation_is_identity_for_plain_patterns():
     for p in [r"^2\d\d$", r"foo|bar", r"[a-z]+\.txt", r"(?:ab)+c?",
               r"\bword\b", r"\\h"]:   # escaped backslash-h stays literal
         assert ruby_regex_to_python(p) == p
+
+
+# -- property fuzz: translation is identity ∘ faithful on the common subset
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+_safe_atoms = st.one_of(
+    st.text(alphabet=string.ascii_letters + string.digits + " _-", min_size=1,
+            max_size=4).map(lambda s: s),
+    st.sampled_from([r"\d", r"\w", r"\s", r"\b", ".", "[a-z]", "[^0-9]",
+                     "(?:ab)", "(x|y)", r"\.", r"\\h"]),
+)
+_quant = st.sampled_from(["", "*", "+", "?", "{1,3}", "*?", "*+"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_safe_atoms, _quant), min_size=1, max_size=5))
+def test_shim_identity_on_common_subset(parts):
+    """Patterns with no Ruby-only construct translate to themselves and
+    still compile (the shim must never corrupt plain regexes)."""
+    import re
+    pat = "".join(a + q for a, q in parts)
+    try:
+        re.compile(pat)
+    except re.error:
+        return                      # random junk like 'a**'; skip
+    assert ruby_regex_to_python(pat) == pat
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1,
+               max_size=8))
+def test_shim_hex_class_matches_ruby_semantics(s):
+    """\\h-translated patterns agree with an explicit hex class on random
+    subject strings."""
+    import re
+    p1 = re.compile(ruby_regex_to_python(r"^\h+$"))
+    p2 = re.compile(r"^[0-9a-fA-F]+$")
+    assert bool(p1.search(s)) == bool(p2.search(s))
