@@ -279,6 +279,20 @@ def q_simhash(sf_dir: str):
         .select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (hamming ≤ 3, 4×16-bit bands —
+    pigeonhole gives PERFECT candidate recall at ≤3 differing bits, so the
+    bounded O(N²) SQL oracle matches exactly). md5 word hash for SQL
+    parity; bounded doc_id < 1000 like the other pair oracles."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.dedup import simhash_pairs
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         filter=(pc.field("doc_id") < 1000))
+    return simhash_pairs(ds, word_hash="md5", max_hamming=3, hot_cap=None)
+
+
 def q_minhash_pairs(sf_dir: str):
     """Word-3-gram-shingle Jaccard ≥0.5 pairs through the scale blocking +
     distributed verify path. Bounded to doc_id < 1000 (the ORACLE's O(N²)
@@ -610,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "transcripts_pipeline": q_transcripts_pipeline,
         "multimodal_features": q_multimodal_features,
         "user_event_counts": q_user_event_counts,
@@ -684,13 +699,13 @@ def _quality_sql() -> str:
         "least(0.5 + stop_ratio * 2.0, 1.0)) AS quality_score FROM r")
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(where: str = "") -> str:
     # word split (non-empty \s+ tokens) → md5_number_lower per word → 64-bit
     # bit-majority → sum of winning bits (bits are disjoint, so SUM == OR)
     return (
         "WITH w AS (SELECT doc_id, unnest(list_filter("
         "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
-        "FROM documents), "
+        f"FROM documents {where}), "
         "h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w), "
         "b AS (SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 "
         "THEN 1 ELSE -1 END) AS acc FROM h "
@@ -700,7 +715,8 @@ def _simhash_sql() -> str:
         "(1::UBIGINT << bit)::HUGEINT ELSE 0 END) AS UBIGINT) AS simhash "
         "FROM b GROUP BY doc_id) "
         "SELECT d.doc_id, COALESCE(sh.simhash, 0::UBIGINT) AS simhash "
-        "FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id")
+        "FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id "
+        f"{where.replace('doc_id', 'd.doc_id') if where else ''}")
 
 
 def _winnow_sql() -> str:
@@ -856,6 +872,12 @@ def oracle_sql() -> dict[str, str]:
             "AND abs((CAST(c.cents AS DOUBLE) - st.mean)/st.std) > 2.0",
         "quality_scores": _quality_sql(),
         "simhash": _simhash_sql(),
+        "simhash_pairs":
+            f"WITH s0 AS ({_simhash_sql('WHERE doc_id < 1000')}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM s0 a JOIN s0 b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
         "winnow": _winnow_sql(),
         "fingerprint":
             "SELECT doc_id, xor(md5_number_lower(text), md5_number_upper("

@@ -276,55 +276,79 @@ class MinHashStage:
 
 def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
                            hot_cap: Optional[int] = 200,
-                           num_groups: int = 64):
+                           num_groups: int = 64,
+                           payload_col: Optional[str] = None):
     """(id_a < id_b) pairs sharing a ``bucket_col`` value. ONE shuffle on a
     hash-bucketed group key (``num_groups`` vectorized group calls total);
     inside a group, buckets are segments of a sort and pairs come from
     ``np.triu_indices`` — no per-bucket scheduling, no Python pair loops.
     ``hot_cap`` skips degenerate hot buckets (> cap members): a documented
-    recall/scale trade — pass ``None`` to disable when the input is bounded."""
+    recall/scale trade — pass ``None`` to disable when the input is bounded.
+    ``payload_col`` (a small fixed-width numeric column, e.g. a simhash)
+    is carried onto the pairs as ``pl_a``/``pl_b`` so the verify can run
+    right here with no join."""
 
     def add_gb(t: pa.Table) -> pa.Table:
         b = t[bucket_col].to_numpy(zero_copy_only=False)
         return t.append_column("_gb", pa.array(_group_of(b, num_groups)))
 
+    def _empty() -> pa.Table:
+        cols = {"id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64())}
+        if payload_col is not None:
+            cols["pl_a"] = pa.array([], type=pa.uint64())
+            cols["pl_b"] = pa.array([], type=pa.uint64())
+        return pa.table(cols)
+
     def per_group(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
+            return _empty()
         idx = pc.sort_indices(t, sort_keys=[(bucket_col, "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
         buckets = t[bucket_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        payload = (t[payload_col].to_numpy(zero_copy_only=False)
+                   .astype(np.uint64) if payload_col is not None else None)
         starts = np.nonzero(np.concatenate(
             ([True], buckets[1:] != buckets[:-1])))[0]
         ends = np.concatenate((starts[1:], [len(t)]))
-        out_a, out_b = [], []
+        out_a, out_b, out_pa, out_pb = [], [], [], []
         for s, e in zip(starts, ends):
-            seg = np.unique(ids[s:e])          # a doc may collide into a
-            m = len(seg)                       # bucket twice across bands
+            seg, seg_idx = np.unique(ids[s:e], return_index=True)
+            m = len(seg)                       # a doc may collide into a
             if m < 2 or (hot_cap is not None and m > hot_cap):
-                continue
+                continue                       # bucket twice across bands
             iu, ju = np.triu_indices(m, 1)
             out_a.append(seg[iu])
             out_b.append(seg[ju])
+            if payload is not None:
+                pl = payload[s:e][seg_idx]
+                out_pa.append(pl[iu])
+                out_pb.append(pl[ju])
         if not out_a:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
+            return _empty()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
+        cols = {}
         # in-group pair dedupe BEFORE the global distinct shuffle: a pair
         # sharing many buckets in one group would otherwise be emitted once
         # per bucket (hot-vocab inputs blow up ~100×); pack to one uint64
         # when ids fit 32 bits so np.unique does it in one pass
         if len(a) and 0 <= a.min() and max(a.max(), b.max()) < 2**31:
-            packed = np.unique((a.astype(np.uint64) << np.uint64(32))
-                               | b.astype(np.uint64))
+            packed, pidx = np.unique(
+                (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64),
+                return_index=True)
             a = (packed >> np.uint64(32)).astype(np.int64)
             b = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            if payload_col is not None:
+                cols["pl_a"] = pa.array(np.concatenate(out_pa)[pidx])
+                cols["pl_b"] = pa.array(np.concatenate(out_pb)[pidx])
+        elif payload_col is not None:
+            cols["pl_a"] = pa.array(np.concatenate(out_pa))
+            cols["pl_b"] = pa.array(np.concatenate(out_pb))
         return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64())})
+                         "id_b": pa.array(b, type=pa.int64()), **cols})
 
     return bucketed_ds.map_batches(add_gb, batch_format="pyarrow",
                                    batch_size=None) \
@@ -692,6 +716,71 @@ def simhash_dataset(ds, col: str = "text", word_hash: str = "sip"):
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.uint8)
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance via a byte popcount table."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)] \
+        .sum(axis=1).astype(np.int64)
+
+
+def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4,
+                  word_hash: str = "sip",
+                  hot_cap: Optional[int] = 1000, num_groups: int = 64):
+    """Near-duplicate pairs by SimHash banding: the 64-bit simhash splits
+    into ``bands`` equal bit-bands; by pigeonhole a pair with hamming ≤
+    ``bands - 1`` differing bits shares ≥1 EXACT band, so candidate recall
+    is PERFECT for ``max_hamming ≤ bands - 1`` (modulo ``hot_cap``). The
+    8-byte simhash rides along as the pair payload, so the verify is one
+    vectorized popcount — no join, no driver. Returns a Dataset
+    (id_a, id_b, hamming ≤ max_hamming)."""
+    assert 64 % bands == 0 and max_hamming <= bands - 1
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    sim = simhash_dataset(ds.select_columns([id_col, col]), col,
+                          word_hash=word_hash)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(t)
+        parts = np.stack([(sh >> np.uint64(j * width)) & mask
+                          for j in range(bands)], axis=1)        # n × bands
+        bid = np.arange(bands, dtype=np.uint64)[None, :]
+        bucket = (parts | (bid << np.uint64(58))).view(np.int64).reshape(-1)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n), bands), type=pa.int64())
+        return pa.table({id_col: pc.take(ids, idx),
+                         "bucket": pa.array(bucket),
+                         "simhash": pa.array(np.repeat(sh, bands))})
+
+    exploded = sim.map_batches(explode, batch_format="pyarrow",
+                               batch_size=None)
+    pairs = bucket_candidate_pairs(exploded, "bucket", id_col,
+                                   hot_cap=hot_cap, num_groups=num_groups,
+                                   payload_col="simhash")
+    pairs = distinct_pairs(pairs, carry=("pl_a", "pl_b"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        h = hamming64_batch(t["pl_a"].to_numpy(zero_copy_only=False),
+                            t["pl_b"].to_numpy(zero_copy_only=False))
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "hamming": pa.array(h)})
+        return out.filter(pa.array(h <= max_hamming))
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=None)
 
 
 # ---------------------------------------------------------------------------

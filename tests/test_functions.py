@@ -355,3 +355,29 @@ def test_minhash_dedup_distributed_cc_matches_driver(ray_session):
     b = sorted(kept_dist.to_pandas()["doc_id"])
     assert a == b
     assert sorted(drop_dist.to_pandas()["node"]) == drop_drv
+
+
+def test_simhash_pairs_banding_recall(ray_session):
+    """Pigeonhole guarantee: hamming ≤ bands-1 pairs ALWAYS share an exact
+    band — banded candidates + popcount verify find exactly the brute-force
+    hamming ≤ 3 pair set."""
+    import itertools
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base,
+             base.replace("lazy", "sleepy"),
+             base.replace("dog", "cat").replace("quick", "swift"),
+             "completely different content about ray pipelines at scale ok",
+             base]                              # exact dup of doc 0
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts})
+    got = dedup.simhash_pairs(rd.from_arrow(tbl), max_hamming=3,
+                              hot_cap=None).to_pandas()
+    sims = {i: dedup.simhash64(t) for i, t in enumerate(texts)}
+    want = {(a, b): dedup.hamming64(sims[a], sims[b])
+            for a, b in itertools.combinations(range(len(texts)), 2)
+            if dedup.hamming64(sims[a], sims[b]) <= 3}
+    got_map = {(a, b): h for a, b, h in
+               zip(got["id_a"], got["id_b"], got["hamming"])}
+    assert got_map == want
+    assert (0, 4) in got_map and got_map[(0, 4)] == 0   # the exact dup
