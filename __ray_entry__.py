@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (41; ★ = DuckDB-oracled; only lsh_topk/ivf_topk
+Query inventory (42; ★ = DuckDB-oracled; only lsh_topk/ivf_topk
 (approximate by design) and transcripts_pipeline (pytest-local oracle —
 tests/test_entry.py) are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
@@ -19,8 +19,8 @@ tests/test_entry.py) are rows-only):
                zscore_outliers★ vocab_topk★
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
                event_paths★
-  dedup:       dedup_exact★ minhash_pairs★ simhash★ embedding_neardup★
-               jaccard_pairs★
+  dedup:       dedup_exact★ minhash_pairs★ simhash★ simhash_pairs★
+               embedding_neardup★ jaccard_pairs★
   similarity:  ann_topk★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
