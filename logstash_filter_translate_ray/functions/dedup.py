@@ -640,11 +640,11 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return ds, []
     comp = connected_components(zip(verified["id_a"], verified["id_b"]))
     drop = sorted(x for x, root in comp.items() if root != x)
-    drop_ref = ray.put(set(drop))
+    drop_ref = ray.put(pa.array(drop))     # broadcast once, vectorized is_in
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        mask = pa.array([i not in d for i in t[id_col].to_pylist()])
+        mask = pc.invert(pc.is_in(t[id_col], value_set=d))
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None), drop
