@@ -429,3 +429,34 @@ def test_spec_window_and_aggregate_clauses(ray_session, tmp_path):
                   "id_col": "event_id"},
     }).to_pandas()
     assert len(ded) == 3      # one survivor per distinct event_type
+
+
+def test_cli_run_resumable_and_spec(ray_session, tmp_path, capsys):
+    """`python -m logstash_filter_translate_ray` CLI: resumable run twice
+    (second is a no-op with identical totals) + a spec run."""
+    import json
+    import yaml
+    from logstash_filter_translate_ray.__main__ import main
+    from logstash_filter_translate_ray.sources import transcripts_parquet_path
+
+    src = transcripts_parquet_path(20_000)
+    out = str(tmp_path / "cli_out")
+    assert main(["run", "--input", src, "--out", out,
+                 "--shard-files", "1"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["run", "--input", src, "--out", out,
+                 "--shard-files", "1"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["shards_run"] == 0 and r2["rows_out"] == r1["rows_out"]
+    assert r2["route_counts"] == r1["route_counts"]
+
+    spec_path = str(tmp_path / "p.yaml")
+    files = sorted(__import__("os").listdir(src))
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({
+            "input": {"path": src},
+            "aggregate": {"group_by": ["role"], "driver_merge": True},
+        }, f)
+    assert main(["spec", "--spec", spec_path]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] >= 2
