@@ -127,7 +127,9 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "agg_value_by_type", "parse_extract", "dedup_exact",
                  "token_count", "langid", "fingerprint", "simhash",
                  "ann_topk", "sort_limit", "tumbling_counts",
-                 "session_counts", "events_pipeline"]:
+                 "session_counts", "events_pipeline",
+                 "prev_event_gap", "event_paths", "zscore_outliers",
+                 "vocab_topk", "winnow", "quality_scores"]:
         fn = em.queries()[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
