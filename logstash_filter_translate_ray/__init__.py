@@ -17,7 +17,7 @@ Layout
 
 from .errors import ConfigurationError, DictionaryFileError
 from .config import TranslateConfig
-from .kernel import DictSnapshot, translate_table, translate_row
+from .kernel import DictSnapshot, translate_table, translate_row, ruby_to_s
 
 __all__ = [
     "ConfigurationError",
@@ -26,6 +26,7 @@ __all__ = [
     "DictSnapshot",
     "translate_table",
     "translate_row",
+    "ruby_to_s",
 ]
 
 __version__ = "0.1.0"

@@ -771,11 +771,17 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
         fb_arr = sprintf_column(cfg.fallback, tbl)
         fb_np = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
 
-    # Only unify value/fallback types when some included row actually MISSES:
-    # translate.rb writes the typed dict value on a hit regardless of whether
-    # a fallback is configured, so casting all hits to string when nothing
-    # needs the fallback would diverge from the reference (and the row oracle).
-    fb_needed = cfg.fallback is not None and bool((incl & ~matched).any())
+    # BLOCK-INVARIANT unification (documented deviation, SURVEY §8): when a
+    # fallback is configured, the target column's type must not depend on
+    # which rows happen to share a block — a typed dict ({'a': 100}) with a
+    # string fallback would otherwise emit int64 from an all-hit block and
+    # string from a block with one miss, and pa.concat_tables of the two
+    # raises ArrowInvalid. So the decision uses only dataset-invariant facts
+    # (cfg.fallback + the dictionary's value type): fallback configured ⇒
+    # always take the unify branch (hits cast to string iff values are
+    # non-string). translate.rb writes heterogeneous Ruby objects per event;
+    # a single-typed Arrow column cannot.
+    fb_needed = cfg.fallback is not None
     if vals is None:
         if fb_static:
             fb_np = np.full(n, cfg.fallback, dtype=object)
@@ -852,9 +858,9 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
         fb_row = np.asarray(fb_arr.to_numpy(zero_copy_only=False), dtype=object)
         fb_flat = _repeat_by(fb_row, eff_lens)
 
-    # Same typed-hit rule as _table_single: only unify with the fallback's
-    # string type when some element actually misses.
-    fb_needed = fb_flat is not None and not bool(f_matched.all())
+    # Same block-invariant rule as _table_single: fallback configured ⇒
+    # always unify (the element type must not depend on block composition).
+    fb_needed = fb_flat is not None
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat)
     elif fb_needed:
@@ -953,7 +959,8 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
 
     write_elem = f_matched | (inner_valid & (fb_flat is not None))
 
-    fb_needed = fb_flat is not None and bool((inner_valid & ~f_matched).any())
+    # Block-invariant rule (see _table_single): fallback ⇒ always unify.
+    fb_needed = fb_flat is not None
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap,
                                         fb_flat if fb_flat is not None else None)

@@ -33,19 +33,32 @@ def run_both(cfg, rows, dictionary=None):
     out_rows = out.to_pylist()
     k_matched = [r.pop("translate_matched") for r in out_rows]
     assert k_matched == oracle_matched, (k_matched, oracle_matched)
+    # Documented columnar deviation (SURVEY §8): fallback + non-string dict
+    # values ⇒ the kernel unifies the whole column to string (block-invariant
+    # output type); the oracle writes heterogeneous Ruby objects. Compare
+    # through ruby_to_s in that case.
+    d = dictionary if dictionary is not None else cfg.dictionary
+    unify = cfg.fallback is not None and any(
+        v is not None and not isinstance(v, str) for v in (d or {}).values())
     for kr, orr in zip(out_rows, oracle_rows):
         for key, val in orr.items():
-            assert _norm(kr.get(key)) == _norm(val), (key, kr, orr)
+            assert _norm(kr.get(key), unify) == _norm(val, unify), \
+                (key, kr, orr)
     return out_rows
 
 
-def _norm(v):
+def _norm(v, stringify=False):
     """Engine convention: absent ⇔ null (SURVEY §2.5 S1 note), so a struct
-    child holding None compares equal to a missing dict key."""
+    child holding None compares equal to a missing dict key. With
+    ``stringify``, scalar leaves compare via ruby_to_s (the fallback-unify
+    deviation)."""
     if isinstance(v, list):
-        return [_norm(x) for x in v]
+        return [_norm(x, stringify) for x in v]
     if isinstance(v, dict):
-        return {k: _norm(x) for k, x in v.items() if x is not None}
+        return {k: _norm(x, stringify) for k, x in v.items() if x is not None}
+    if stringify and v is not None and not isinstance(v, str):
+        from logstash_filter_translate_ray import ruby_to_s
+        return ruby_to_s(v)
     return v
 
 
@@ -447,12 +460,26 @@ def test_iterate_on_nil_element_coerced_to_empty_string():
 # in-place matched flag (translate.rb:267)
 # --------------------------------------------------------------------------
 
-def test_typed_values_fallback_no_miss_keeps_type():
-    """dict {'a': 100} + fallback: when NO included row misses, the typed
-    value 100 must be written (not '100') — the fallback's string type only
-    infects a batch that actually needs a fallback write."""
+def test_typed_values_fallback_block_invariant_type():
+    """ADVICE r3 (high): the target type must NOT depend on block
+    composition. dict {'a': 100} + string fallback ⇒ the target is string in
+    EVERY block — an all-hit block and a block with a miss concat cleanly
+    and identical rows get identical values."""
     cfg = TranslateConfig(source="s", target="t",
                           dictionary={"a": 100, "b": 200}, fallback="fb")
+    snap = DictSnapshot(cfg.dictionary)
+    all_hit = translate_table(pa.table({"s": ["a", "a"]}), cfg, snap)
+    with_miss = translate_table(pa.table({"s": ["a", "zz"]}), cfg, snap)
+    assert all_hit["t"].type == with_miss["t"].type == pa.string()
+    both = pa.concat_tables([all_hit, with_miss])   # must not raise
+    assert both["t"].to_pylist() == ["100", "100", "100", "fb"]
+
+
+def test_typed_values_no_fallback_keeps_type():
+    """Without a fallback there is no type conflict: typed dict values are
+    written exactly (translate.rb writes the Ruby object)."""
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": 100, "b": 200})
     out = run_both(cfg, [{"s": "a"}, {"s": "b"}, {"s": None}])
     assert out[0]["t"] == 100 and out[1]["t"] == 200
 
@@ -469,16 +496,32 @@ def test_typed_values_fallback_with_miss_unifies_to_string():
     assert out["t"].to_pylist() == ["100", "fb"]
 
 
-def test_typed_values_fallback_no_miss_iterate_values():
+def test_typed_values_fallback_iterate_values_unifies():
+    """List shape, same block-invariant rule: fallback configured ⇒ string
+    elements regardless of whether any element missed."""
     cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
                           dictionary={"a": 7, "b": 9}, fallback="fb")
+    out = run_both(cfg, [{"foo": ["a", "b"]}, {"foo": ["b"]}])
+    assert out[0]["baz"] == ["7", "9"] and out[1]["baz"] == ["9"]
+
+
+def test_typed_values_no_fallback_iterate_values_keeps_type():
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                          dictionary={"a": 7, "b": 9})
     out = run_both(cfg, [{"foo": ["a", "b"]}, {"foo": ["b"]}])
     assert out[0]["baz"] == [7, 9] and out[1]["baz"] == [9]
 
 
-def test_typed_values_fallback_no_miss_iterate_maps():
+def test_typed_values_fallback_iterate_maps_unifies():
     cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
                           dictionary={"a": 7}, fallback="fb")
+    out = run_both(cfg, [{"foo": [{"bar": "a"}, {"bar": None}]}])
+    assert out[0]["foo"][0]["baz"] == "7"
+
+
+def test_typed_values_no_fallback_iterate_maps_keeps_type():
+    cfg = TranslateConfig(source="bar", iterate_on="foo", target="baz",
+                          dictionary={"a": 7})
     out = run_both(cfg, [{"foo": [{"bar": "a"}, {"bar": None}]}])
     assert out[0]["foo"][0]["baz"] == 7
 

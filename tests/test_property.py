@@ -82,10 +82,9 @@ def test_kernel_equals_oracle_array_of_maps(d, rows, fallback, strategy):
 
 
 # Non-string dictionary VALUES (int/bool): with no fallback the kernel must
-# write the typed value exactly; a fallback only unifies the batch to string
-# when some included row actually misses (test_kernel pins that case), so
-# here we fuzz typed values both without a fallback and with one over rows
-# drawn only from the key set (all-hit ⇒ typed equality must hold).
+# write the typed value exactly; with a fallback the column unifies to
+# string BLOCK-INVARIANTLY (run_both compares through ruby_to_s then —
+# the documented columnar deviation, test_kernel pins it).
 # one value type per dictionary (heterogeneous values hit the documented
 # columnar must-unify constraint, which is its own test)
 typed_dicts = st.one_of(
@@ -118,8 +117,9 @@ def test_kernel_equals_oracle_typed_values(d, rows, strategy, override):
     shape=st.sampled_from(["single", "array_of_values", "array_of_maps"]),
 )
 def test_kernel_typed_values_fallback_all_hit(d, data, shape):
-    """Rows drawn from the key set: fallback configured but never needed →
-    typed values survive in every shape (the ADVICE medium regression)."""
+    """Rows drawn from the key set: fallback configured, all hits — the
+    unified string values must equal ruby_to_s of the oracle's typed values
+    in every shape (run_both's unify comparison)."""
     ks = sorted(d)
     if shape == "single":
         cfg = TranslateConfig(source="s", target="t", dictionary=d,
