@@ -27,7 +27,6 @@ propagation when verified pairs outgrow the driver).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable, Optional
 
 import numpy as np
@@ -43,6 +42,21 @@ _KGRAM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                         0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
                        dtype=np.uint64)
 _EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # stands in for "" (no words)
+
+
+def _kgram_mult(k: int) -> np.ndarray:
+    """Per-position odd multipliers for ARBITRARY k: the first 8 come from
+    the fixed table (pins existing shingle hashes and every oracle built on
+    them), positions ≥ 8 from splitmix64 of the position index, forced odd
+    (an even multiplier would drop low bits under uint64 wraparound)."""
+    if k <= len(_KGRAM_MULT):
+        return _KGRAM_MULT[:k]
+    idx = np.arange(len(_KGRAM_MULT), k, dtype=np.uint64)
+    z = (idx + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return np.concatenate([_KGRAM_MULT, z | np.uint64(1)])
 
 
 def _hash_words_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
@@ -86,6 +100,7 @@ def shingle_hashes_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarra
     as the reference-style per-doc shingler.
     Returns (shingles uint64 concat, shingle_ptr int64[n+1])."""
     n = len(texts)
+    mult = _kgram_mult(k)
     wh, wptr = _hash_words_batch(texts)
     counts = np.diff(wptr)
     total = int(counts.sum())
@@ -101,7 +116,7 @@ def shingle_hashes_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarra
         m = total - k + 1
         acc = np.zeros(m, dtype=np.uint64)
         for j in range(k):
-            acc += wh[j:m + j] * _KGRAM_MULT[j]
+            acc += wh[j:m + j] * mult[j]
         doc_of = np.repeat(np.arange(n), counts)
         valid = doc_of[:m] == doc_of[k - 1:]
         slot_doc = np.repeat(np.arange(n), sh_counts)
@@ -112,7 +127,7 @@ def shingle_hashes_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarra
         for j in range(k - 1):
             has = counts[small] > j
             if has.any():
-                vals[has] += wh[wptr[small[has]] + j] * _KGRAM_MULT[j]
+                vals[has] += wh[wptr[small[has]] + j] * mult[j]
         vals[counts[small] == 0] = _EMPTY_SHINGLE
         sh[sh_ptr[small]] = vals
     return sh, sh_ptr
@@ -136,39 +151,53 @@ def _group_of(bucket: np.ndarray, num_groups: int) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+_CONTENT_HASH_KEY = "lftr-content-h16"   # 16-char alternate siphash key
+
+
 def add_content_hash(tbl: pa.Table, col: str = "text",
-                     out: str = "content_hash") -> pa.Table:
-    texts = tbl[col].to_pylist()
-    h = [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
-    return tbl.append_column(out, pa.array(h, type=pa.string()))
+                     out: str = "content_hash") -> tuple[pa.Table, np.ndarray]:
+    """Append a 128-bit content hash as TWO uint64 columns ``out``/``out2``
+    (two independent fixed-key siphash passes via ``pd.util.hash_array`` —
+    fully vectorized, no per-row Python hashing; collision odds ~1e-18 at
+    10^10 docs). null text hashes like "". Returns (table, first-hash array)
+    — the first hash doubles as the bucket key."""
+    arr = tbl[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = np.asarray(pc.fill_null(arr, "").to_pylist(), dtype=object)
+    h1 = pd.util.hash_array(vals) if len(vals) else np.empty(0, np.uint64)
+    h2 = pd.util.hash_array(vals, hash_key=_CONTENT_HASH_KEY) \
+        if len(vals) else np.empty(0, np.uint64)
+    tbl = tbl.append_column(out, pa.array(h1, type=pa.uint64()))
+    tbl = tbl.append_column(out + "2", pa.array(h2, type=pa.uint64()))
+    return tbl, h1
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 num_groups: int = 64):
     """Keep the min-id row per distinct content. Hash-BUCKETED groupby
     (``num_groups`` vectorized group calls, not one per distinct content):
-    inside a group, sort by (hash, id) and take each segment's first row —
-    no per-group pandas frames. Keeps FULL rows; for id-only consumers
-    :func:`exact_dedup_ids` is a pure native aggregate."""
+    inside a group, sort by (hash128, id) and take each segment's first
+    row — no per-group pandas frames. Keeps FULL rows; for id-only
+    consumers :func:`exact_dedup_ids` is a pure native aggregate."""
+    aux = ["content_hash", "content_hash2", "_gb"]
 
     def add_hash_gb(t: pa.Table) -> pa.Table:
-        t = add_content_hash(t, col)
-        h = np.frombuffer(
-            b"".join(bytes.fromhex(x[:16])
-                     for x in t["content_hash"].to_pylist()),
-            dtype=np.uint64) if len(t) else np.empty(0, np.uint64)
-        return t.append_column("_gb", pa.array(_group_of(h, num_groups)))
+        t, h1 = add_content_hash(t, col)
+        return t.append_column("_gb", pa.array(_group_of(h1, num_groups)))
 
     def per_group(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return t.drop_columns(["content_hash", "_gb"])
+            return t.drop_columns(aux)
         idx = pc.sort_indices(t, sort_keys=[("content_hash", "ascending"),
+                                            ("content_hash2", "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
-        h = t["content_hash"].to_numpy(zero_copy_only=False)
+        a = t["content_hash"].to_numpy(zero_copy_only=False)
+        b = t["content_hash2"].to_numpy(zero_copy_only=False)
         first = np.ones(len(t), dtype=bool)
-        first[1:] = h[1:] != h[:-1]
-        return t.filter(pa.array(first)).drop_columns(["content_hash", "_gb"])
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(first)).drop_columns(aux)
 
     return ds.map_batches(add_hash_gb, batch_format="pyarrow",
                           batch_size=None) \
@@ -176,12 +205,13 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
-    """Surviving ids only: content-hash groupby + NATIVE min aggregate —
+    """Surviving ids only: content-hash128 groupby + NATIVE min aggregate —
     no per-group callbacks at all (the 10^8-group shape)."""
     hashed = ds.map_batches(
-        lambda t: add_content_hash(t, col).select(["content_hash", id_col]),
+        lambda t: add_content_hash(t, col)[0]
+        .select(["content_hash", "content_hash2", id_col]),
         batch_format="pyarrow", batch_size=None)
-    out = hashed.groupby("content_hash").min(id_col)
+    out = hashed.groupby(["content_hash", "content_hash2"]).min(id_col)
     # batch-level rename (Dataset.rename_columns logs schema-change noise)
     return out.map_batches(
         lambda t: pa.table({id_col: t[f"min({id_col})"]}),
@@ -456,6 +486,33 @@ def _jaccard_from_blobs(a: bytes, b: bytes) -> float:
     return inter / max(1, len(sa) + len(sb) - inter)
 
 
+def _batch_jaccard_from_blobs(a_blobs: list, b_blobs: list) -> np.ndarray:
+    """Exact Jaccard for a whole BATCH of (set-blob, set-blob) pairs in one
+    segmented pass — no per-pair Python call. Each blob is a sorted-unique
+    uint64 set, so after a (pair, value) lexsort over the concatenation of
+    both sides an adjacent duplicate within a pair can only be a cross-side
+    hit: intersection = bincount of those positions."""
+    n = len(a_blobs)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    la = np.fromiter((len(x) if x else 0 for x in a_blobs),
+                     dtype=np.int64, count=n) // 8
+    lb = np.fromiter((len(x) if x else 0 for x in b_blobs),
+                     dtype=np.int64, count=n) // 8
+    va = np.frombuffer(b"".join(x or b"" for x in a_blobs), dtype=np.uint64)
+    vb = np.frombuffer(b"".join(x or b"" for x in b_blobs), dtype=np.uint64)
+    vals = np.concatenate([va, vb])
+    pair = np.concatenate([np.repeat(np.arange(n), la),
+                           np.repeat(np.arange(n), lb)])
+    order = np.lexsort((vals, pair))
+    pv, vv = pair[order], vals[order]
+    dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(pv[1:][dup], minlength=n)
+    union = la + lb - inter
+    # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (same edge rule as the scalar)
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            num_partitions: int = 4):
@@ -481,11 +538,8 @@ def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
                  on=("id_b",), right_on=(id_col,))
 
     def jac(t: pa.Table) -> pa.Table:
-        a_blobs = t["_sh_a"].to_pylist()
-        b_blobs = t["sh_set"].to_pylist()
-        vals = np.fromiter((_jaccard_from_blobs(a, b)
-                            for a, b in zip(a_blobs, b_blobs)),
-                           dtype=np.float64, count=len(t))
+        vals = _batch_jaccard_from_blobs(t["_sh_a"].to_pylist(),
+                                         t["sh_set"].to_pylist())
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                          "jaccard": pa.array(vals)})
 
@@ -583,23 +637,40 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
         labels = _norm(stepped.drop_columns(["_changed"])).materialize()
         if not changed:
             break
+    else:
+        # the loop exhausted max_iters with labels still moving: a chain
+        # whose diameter exceeds the round budget — the returned labels
+        # would silently under-merge components, so make it loud.
+        import warnings
+        warnings.warn(
+            f"minlabel_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — components with diameter "
+            f"> max_iters are under-merged; raise max_iters",
+            RuntimeWarning, stacklevel=2)
     return labels
+
+
+_CC_DRIVER_MAX_PAIRS = 1_000_000   # verified-pair count above which the
+# driver union-find (one to_pandas of the pair list + a Python loop) loses
+# to the min-label-propagation groupby; ~16 MB of int64 pair ids at the cut.
 
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   k: int = 3, num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.8, concurrency: int = 4,
-                  num_partitions: int = 4, cc: str = "driver"):
+                  num_partitions: int = 4, cc: str = "auto"):
     """Full near-dup pipeline: LSH candidates → distributed Jaccard verify
     (join-attached shingle sets, see :func:`verified_jaccard_pairs`) →
     keep min-id per component. Returns (deduped_dataset, dropped_ids).
 
-    ``cc='driver'`` (default): union-find over the VERIFIED pair list on
-    the driver (sparse-duplicate assumption); ``dropped_ids`` is a sorted
-    Python list and the survivor filter is a broadcast set. ``cc=
-    'distributed'``: :func:`minlabel_components` + a hash-join survivor
-    filter — nothing pair-shaped ever reaches the driver; ``dropped_ids``
-    is a Dataset of (node, label)."""
+    ``cc='driver'``: union-find over the VERIFIED pair list on the driver
+    (sparse-duplicate assumption); ``dropped_ids`` is a sorted Python list
+    and the survivor filter is a broadcast set. ``cc='distributed'``:
+    :func:`minlabel_components` + a hash-join survivor filter — nothing
+    pair-shaped ever reaches the driver; ``dropped_ids`` is a Dataset of
+    (node, label). ``cc='auto'`` (default): picks by the verified pair
+    count — driver below ``_CC_DRIVER_MAX_PAIRS`` (1M pairs ≈ 16 MB of
+    ids), distributed above."""
     import ray
 
     # materialize the PAIR LIST (small by construction) so the empty case is
@@ -607,15 +678,19 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
     cand = minhash_candidate_pairs(ds, col, id_col, k, num_perm, bands,
                                    concurrency).materialize()
     if cand.count() == 0:
-        return ds, ([] if cc == "driver" else cand)
+        return ds, ([] if cc != "distributed" else cand)
     ver_ds = verified_jaccard_pairs(cand, ds, col, id_col, k, num_partitions)
 
+    thr = ver_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
+        .select(["id_a", "id_b"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+    n_verified = thr.count()
+    if cc == "auto":
+        cc = "driver" if n_verified <= _CC_DRIVER_MAX_PAIRS else "distributed"
+
     if cc == "distributed":
-        thr = ver_ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
-            .select(["id_a", "id_b"]),
-            batch_format="pyarrow", batch_size=None).materialize()
-        if thr.count() == 0:
+        if n_verified == 0:
             return ds, thr
         labels = minlabel_components(thr, num_partitions)
         dropped = labels.map_batches(
@@ -634,10 +709,9 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
             batch_format="pyarrow", batch_size=None)
         return kept, dropped
 
-    ver = ver_ds.to_pandas()
-    verified = ver[ver["jaccard"] >= threshold]
-    if len(verified) == 0:
+    if n_verified == 0:
         return ds, []
+    verified = thr.to_pandas()      # already thresholded + driver-sized
     comp = connected_components(zip(verified["id_a"], verified["id_b"]))
     drop = sorted(x for x, root in comp.items() if root != x)
     drop_ref = ray.put(pa.array(drop))     # broadcast once, vectorized is_in

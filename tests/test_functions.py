@@ -381,3 +381,75 @@ def test_simhash_pairs_banding_recall(ray_session):
                zip(got["id_a"], got["id_b"], got["hamming"])}
     assert got_map == want
     assert (0, 4) in got_map and got_map[(0, 4)] == 0   # the exact dup
+
+
+# ---------------------------------------------------------------------------
+# round-3: arbitrary-k shingles, batch Jaccard, auto CC, convergence warning
+# ---------------------------------------------------------------------------
+
+def test_shingle_hashes_arbitrary_k():
+    """k > 8 must work (ADVICE r3): multipliers beyond the fixed table come
+    from splitmix64; k <= 8 hashes are unchanged by the extension."""
+    text = "a b c d e f g h i j k l m n o p"
+    for k in (3, 8, 12, 20):    # 20 > word count → single combined shingle
+        sh = dedup.shingle_hashes(text, k=k)
+        words = len(text.split())
+        assert len(sh) == max(words - k + 1, 1)
+    # pinned: extending the table must not change small-k hashes
+    assert dedup._kgram_mult(3).tolist() == dedup._KGRAM_MULT[:3].tolist()
+    assert dedup._kgram_mult(12)[:8].tolist() == dedup._KGRAM_MULT.tolist()
+    # distinct positions get distinct odd multipliers
+    m = dedup._kgram_mult(32)
+    assert len(set(m.tolist())) == 32 and all(v % 2 == 1 for v in m.tolist())
+
+
+def test_batch_jaccard_matches_scalar():
+    """Segmented batch Jaccard == per-pair scalar on every edge shape."""
+    rng = np.random.RandomState(7)
+    blobs = []
+    for _ in range(30):
+        n = rng.randint(0, 12)
+        vals = np.unique(rng.randint(0, 20, size=n).astype(np.uint64))
+        blobs.append(vals.tobytes())
+    blobs.append(b"")            # empty set
+    a = [blobs[rng.randint(len(blobs))] for _ in range(40)] + [b"", b"x8bytes!"]
+    b = [blobs[rng.randint(len(blobs))] for _ in range(40)] + [b"", b""]
+    got = dedup._batch_jaccard_from_blobs(a, b)
+    want = np.array([dedup._jaccard_from_blobs(x, y) for x, y in zip(a, b)])
+    np.testing.assert_allclose(got, want)
+    assert dedup._batch_jaccard_from_blobs([], []).shape == (0,)
+
+
+def test_minhash_dedup_auto_cc(ray_session):
+    """cc='auto' picks the driver path under the pair threshold and the
+    distributed path above it, with identical survivors."""
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = {"doc_id": [1, 2, 3],
+            "text": [base, base.replace("lazy", "sleepy"),
+                     "completely different content about ray data pipelines"]}
+    ds = rd.from_arrow(pa.table(rows))
+    kept_auto, drop_auto = dedup.minhash_dedup(ds, threshold=0.5,
+                                               concurrency=1)  # auto→driver
+    assert drop_auto == [2]                    # driver path: a plain list
+    # force the distributed branch by dropping the threshold to 0
+    old = dedup._CC_DRIVER_MAX_PAIRS
+    dedup._CC_DRIVER_MAX_PAIRS = 0
+    try:
+        kept_dist, drop_dist = dedup.minhash_dedup(ds, threshold=0.5,
+                                                   concurrency=1)
+    finally:
+        dedup._CC_DRIVER_MAX_PAIRS = old
+    assert hasattr(drop_dist, "to_pandas")     # distributed path: a Dataset
+    assert sorted(kept_dist.to_pandas()["doc_id"]) == \
+        sorted(kept_auto.to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_minlabel_components_warns_when_unconverged(ray_session):
+    """A chain whose diameter exceeds max_iters must WARN, not silently
+    return under-merged labels (ADVICE r3)."""
+    import ray.data as rd
+    chain = pa.table({"id_a": [1, 2, 3, 4, 5, 6, 7],
+                      "id_b": [2, 3, 4, 5, 6, 7, 8]})
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dedup.minlabel_components(rd.from_arrow(chain), max_iters=1)
