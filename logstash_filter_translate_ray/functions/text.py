@@ -170,12 +170,86 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
     return np.unique(mins).tolist()    # sorted + deduped, no per-item Python
 
 
+def winnow_batch(texts: list, k: int = 5, w: int = 4) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints for a whole BATCH in one vectorized pass —
+    per-doc results identical to :func:`winnow_fingerprints`. One utf-32
+    decode of the concatenated batch, one global windowed dot product with
+    doc-boundary masking (same trick as the shingle combiner), one global
+    stride-trick window-min with boundary masking, and one lexsort for the
+    per-doc sort+dedup. Only docs SHORTER than k characters (a different
+    polynomial degree each) fall back to the scalar path.
+    Returns (fingerprints int64 concat, ptr int64[n+1])."""
+    n = len(texts)
+    lens = np.fromiter((len(t) if t else 0 for t in texts),
+                       dtype=np.int64, count=n)
+    total = int(lens.sum())
+    doc_parts = [np.empty(0, dtype=np.int64)] * 3   # window / single / small
+    docs_parts = [np.empty(0, dtype=np.int64)] * 3
+    if total and (lens >= k).any():
+        cp = np.frombuffer("".join(t or "" for t in texts)
+                           .encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.int64)
+        pows = _win_pows(k)
+        m = total - k + 1
+        if m > 0:
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                acc += pows[j] * cp[j:m + j]
+            char_doc = np.repeat(np.arange(n), lens)
+            valid = char_doc[:m] == char_doc[k - 1:]
+            H = acc[valid] % _M              # per-doc k-gram hashes, doc order
+            hlens = np.maximum(lens - k + 1, 0)
+            hdoc = np.repeat(np.arange(n), hlens)
+            hptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(hlens, out=hptr[1:])
+            if len(H) > w:
+                from numpy.lib.stride_tricks import sliding_window_view
+                W = sliding_window_view(H, w).min(axis=1)
+                wvalid = hdoc[:len(W)] == hdoc[w - 1:]
+                doc_parts[0] = W[wvalid]
+                docs_parts[0] = hdoc[:len(W)][wvalid]
+            # docs with 1 <= hlen <= w: fingerprint = min of all hashes.
+            # reduceat over (start, end) boundary PAIRS — start-only indices
+            # would reduce across the window-path docs in between; the even
+            # results are the per-doc segment minima.
+            single = np.nonzero((hlens >= 1) & (hlens <= w))[0]
+            if len(single):
+                bounds = np.empty(2 * len(single), dtype=np.int64)
+                bounds[0::2] = hptr[single]
+                bounds[1::2] = hptr[single + 1]
+                if bounds[-1] >= len(H):   # trailing end==len(H): reduceat
+                    bounds = bounds[:-1]   # runs that segment to array end
+                doc_parts[1] = np.minimum.reduceat(H, bounds)[0::2]
+                docs_parts[1] = single
+    # docs shorter than k chars: one hash of the whole doc, degree = len
+    small = np.nonzero((lens > 0) & (lens < k))[0]
+    if len(small):
+        doc_parts[2] = np.fromiter(
+            (int(_kgram_hashes(_codepoints(texts[i]), int(lens[i]),
+                               _win_pows(int(lens[i])))[0]) for i in small),
+            dtype=np.int64, count=len(small))
+        docs_parts[2] = small
+    vals = np.concatenate(doc_parts)
+    docs = np.concatenate(docs_parts)
+    order = np.lexsort((vals, docs))
+    dv, vv = docs[order], vals[order]
+    keep = np.ones(len(vv), dtype=bool)
+    keep[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+    dv, vv = dv[keep], vv[keep]
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(dv, minlength=n), out=ptr[1:])
+    return vv, ptr
+
+
 def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
                    out: str = "fingerprints"):
     def _fn(tbl: pa.Table) -> pa.Table:
-        fps = [winnow_fingerprints(t or "", k, w)
-               for t in tbl[col].to_pylist()]
-        return tbl.append_column(out, pa.array(fps, type=pa.list_(pa.int64())))
+        vals, ptr = winnow_batch(tbl[col].to_pylist(), k, w)
+        lists = pa.ListArray.from_arrays(
+            pa.array(ptr.astype(np.int32), type=pa.int32()),
+            pa.array(vals, type=pa.int64()))
+        return tbl.append_column(out, lists)
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
@@ -230,14 +304,23 @@ def vocab_topk(ds, col: str = "text", k: int = 20):
     vocab × blocks rows, not one row per token), native sum aggregate,
     distributed (count desc, word asc) sort, limit k."""
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[col].to_pylist()
-        toks = [w for x in texts for w in (x or "").split()]
-        if not toks:
+        # Arrow-native wordcount partial: C tokenize + dictionary_encode +
+        # one bincount over the codes — no Python token list (VERDICT r2).
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.fill_null(c, "")))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))   # str.split() parity
+        if len(flat) == 0:
             return pa.table({"word": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        words, counts = np.unique(np.array(toks, dtype=object),
-                                  return_counts=True)
-        return pa.table({"word": pa.array(words.tolist(), type=pa.string()),
+        enc = flat.dictionary_encode()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary))
+        return pa.table({"word": enc.dictionary,
                          "n": pa.array(counts, type=pa.int64())})
 
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \

@@ -453,3 +453,22 @@ def test_minlabel_components_warns_when_unconverged(ray_session):
                       "id_b": [2, 3, 4, 5, 6, 7, 8]})
     with pytest.warns(RuntimeWarning, match="did not converge"):
         dedup.minlabel_components(rd.from_arrow(chain), max_iters=1)
+
+
+def test_winnow_batch_matches_scalar():
+    """Batched winnowing == per-doc winnow_fingerprints on every edge
+    shape (empty, sub-k, window-sized, long, repeated substrings)."""
+    import random, string
+    rng = random.Random(42)
+
+    def rand_text(n):
+        return "".join(rng.choice("ab cd" + string.ascii_lowercase[:6])
+                       for _ in range(n))
+    texts = ["", "a", "ab", "abcd", "abcde", "hello world hello world",
+             "x" * 3, "x" * 50] + \
+        [rand_text(rng.randint(0, 80)) for _ in range(120)]
+    for k, w in [(5, 4), (3, 2), (7, 5)]:
+        vals, ptr = text.winnow_batch(texts, k, w)
+        for i, t in enumerate(texts):
+            assert vals[ptr[i]:ptr[i + 1]].tolist() == \
+                text.winnow_fingerprints(t, k, w), (i, repr(t), k, w)
