@@ -192,7 +192,9 @@ def q_agg_value_by_type(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())  # DuckDB round() = ties away from zero
         t2 = pa.table({"event_type": t["event_type"], "cents": cents})
         return t2.group_by(["event_type"]).aggregate([("cents", "sum")]) \
             .rename_columns(["event_type", "sum_cents"])
@@ -499,7 +501,9 @@ def q_agg_minmax(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())  # DuckDB round() = ties away from zero
         t2 = pa.table({"event_type": t["event_type"], "cents": cents})
         return t2.group_by(["event_type"]).aggregate(
             [("cents", "min"), ("cents", "max")]) \
@@ -578,6 +582,19 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.4)[["id_a", "id_b"]]
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup — the 100 TB path (banded hyperplane
+    buckets, per-segment matmuls). Approximate by design ⇒ rows-only; the
+    ≥0.9-recall-vs-exact guarantee is pinned by
+    tests/test_functions.py::test_embedding_neardup_lsh_recall."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs_lsh)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs_lsh(ds, threshold=0.4,
+                                       planes_per_table=2,
+                                       n_tables=16)[["id_a", "id_b"]]
+
+
 def q_transcripts_pipeline(sf_dir: str):
     """Flagship DAG per-sink counts on deterministic synthetic transcripts
     (rows-only: the transcript table is not a registered DuckDB view)."""
@@ -636,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q_event_paths,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
         "topk_users": q_topk_users,
@@ -739,6 +757,37 @@ def _winnow_sql() -> str:
         "j -> list_min(list_slice(hs, j, j+3))))) END AS fps FROM h) "
         "SELECT doc_id, array_to_string(list_transform(list_slice(fps, 1, 8), "
         "x -> CAST(x AS VARCHAR)), ',') AS fp8 FROM m")
+
+
+def _transcripts_pipeline_sql() -> str:
+    """DuckDB reconstruction of the flagship parse → enrich → route chain
+    over the SAME deterministic /tmp transcripts parquet the Ray query
+    reads (the driver compares at sf=0.01 ⇒ the n=20k cache). Calling this
+    GENERATES the cache if absent, so the oracle works regardless of
+    whether the driver runs the SQL before or after the Ray query. The
+    driver's DuckDB reads /tmp by the same mechanism it already uses for
+    the /root/testdata views (read_parquet on absolute paths), so external
+    file access is known-enabled; tests/test_entry.py keeps the same
+    comparison as a pytest backstop."""
+    from logstash_filter_translate_ray.pipelines.transcripts import (
+        ROLE_ROUTES, TOOL_DICT)
+    tdir = _transcripts_dir("/root/testdata/sf0.01")
+    route_case = " ".join(f"WHEN role = '{k}' THEN '{v}'"
+                          for k, v in ROLE_ROUTES.items())
+    tool_case = " ".join(f"WHEN tn = '{k}' THEN '{v}'"
+                         for k, v in TOOL_DICT.items())
+    return (
+        f"WITH t AS (SELECT role, tool FROM read_parquet('{tdir}/*.parquet')), "
+        "e AS (SELECT "
+        f"CASE WHEN role IS NULL THEN NULL {route_case} ELSE 'other' END AS route, "
+        "CASE WHEN tool IS NULL OR NOT regexp_matches(tool, '^\\s*[a-z_]+') "
+        "THEN NULL ELSE regexp_extract(tool, '^\\s*([a-z_]+)', 1) END AS tn "
+        "FROM t) "
+        # '(null)' mirrors grouped_counts' null-key sentinel
+        "SELECT COALESCE(route, '(null)') AS route, "
+        f"COALESCE(CASE WHEN tn IS NULL THEN NULL {tool_case} "
+        "ELSE 'no tool' END, '(null)') AS tool_label, COUNT(*) AS n "
+        "FROM e GROUP BY 1, 2")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -849,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type FROM events UNION ALL "
             "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
+        "transcripts_pipeline": _transcripts_pipeline_sql(),
         "vocab_topk":
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "

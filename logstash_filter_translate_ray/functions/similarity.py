@@ -248,6 +248,19 @@ class LshIndexStage:
 
 
 _IVF_CENTROID_CACHE: dict = {}
+_IVF_CACHE_MAX = 32                      # bound the in-process cache
+
+
+def _ivf_cache_sig(cache_key: str) -> tuple:
+    """Fold a cheap content signal into the cache key: when the key names
+    an existing file or directory, its (mtime_ns, size) joins the key so a
+    regenerated dataset at the same path invalidates stale centroids."""
+    import os
+    try:
+        st = os.stat(cache_key)
+        return (cache_key, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (cache_key,)
 
 
 def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
@@ -263,7 +276,8 @@ def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
     calls against the same dataset skip both the sample pull and the
     k-means pass entirely."""
     if cache_key is not None:
-        ck = (cache_key, n_cells, sample_n, iters, seed, vec_col)
+        ck = _ivf_cache_sig(cache_key) + (n_cells, sample_n, iters, seed,
+                                          vec_col)
         hit = _IVF_CENTROID_CACHE.get(ck)
         if hit is not None:
             return hit
@@ -281,6 +295,8 @@ def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
                 if n > 0:
                     cent[c] = v / n
     if cache_key is not None:
+        while len(_IVF_CENTROID_CACHE) >= _IVF_CACHE_MAX:
+            _IVF_CENTROID_CACHE.pop(next(iter(_IVF_CENTROID_CACHE)))
         _IVF_CENTROID_CACHE[ck] = cent
     return cent
 

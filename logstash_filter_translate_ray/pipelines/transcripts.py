@@ -156,10 +156,13 @@ def read_transcripts(path: "str | list[str]",
 def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
                  cfg: Optional[TranscriptPipelineConfig] = None,
                  ) -> dict[str, Any]:
-    """Run the DAG once (non-resumable form). Returns the aggregates as
-    small pandas frames; when ``out_dir`` is given the routed rows are
-    written as hive-partitioned parquet first and the aggregates are then
-    computed over the written files (single source of truth)."""
+    """Run the DAG once (non-resumable form). Returns the low-cardinality
+    aggregates as small pandas frames; ``conv_turn_counts`` (one row PER
+    CONVERSATION — whole-input cardinality) stays a lazy Dataset so the
+    driver never materializes it — callers sample, aggregate, or sink it.
+    When ``out_dir`` is given the routed rows are written as
+    hive-partitioned parquet first and the aggregates are then computed
+    over the written files (single source of truth)."""
     cfg = cfg or TranscriptPipelineConfig()
     ds = build_enriched_dataset(read_transcripts(input_path), cfg)
     if out_dir is not None:
@@ -168,8 +171,7 @@ def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
         ds = rd.read_parquet(out_dir)
     routes = sink_counts(ds, by=["tool_label"])
     matched = matched_counts(ds, "status_matched")
-    convs = conv_turn_counts(ds).to_pandas().sort_values("conv_id") \
-        .reset_index(drop=True)
+    convs = conv_turn_counts(ds)
     return {"sink_counts": routes, "status_matched_counts": matched,
             "conv_turn_counts": convs}
 

@@ -89,6 +89,17 @@ def conv_turn_counts(ds: "ray.data.Dataset", conv_col: str = "conv_id",
                           driver_merge=driver_merge)
 
 
+def _cents(col) -> "pa.Array":
+    """value → integer cents with DuckDB's tie rule. ``pc.round`` defaults
+    to half_to_even while DuckDB ``round()`` is half-away-from-zero
+    (Arrow 12.5→12, DuckDB 12.5→13), so every cents computation that is
+    mirrored by a ``round(value*100)`` oracle must pass
+    ``half_towards_infinity`` or ties diverge."""
+    import pyarrow.compute as pc
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
 def zscore_outliers(ds, key: str = "event_type", val: str = "value",
                     threshold: float = 2.0, id_col: str = "event_id"):
     """Per-key z-score anomaly flag (two-pass, broadcast stats):
@@ -107,7 +118,7 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t[val], 100.0)), pa.int64())
+        cents = _cents(t[val])
         sub = pa.table({key: t[key], "c": cents,
                         "c2": pc.multiply(cents, cents)})
         return sub.group_by([key]).aggregate(
@@ -119,19 +130,21 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
     stats = parts.groupby(key, as_index=False)[["cnt", "s1", "s2"]].sum()
     mean = stats["s1"].astype("float64") / stats["cnt"]
     var = stats["s2"].astype("float64") / stats["cnt"] - mean * mean
-    std = np.sqrt(var)
-    lut = {k: (m, s) for k, m, s in zip(stats[key], mean, std)}
-    ref = ray.put(lut)
+    # broadcast ARRAYS, looked up per batch with one pc.index_in — no
+    # per-row Python dict lookups in the flag stage
+    ref = ray.put((pa.array(stats[key]), mean.to_numpy(),
+                   np.sqrt(var.to_numpy())))
 
     def flag(t: pa.Table) -> pa.Table:
-        table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        cents = pc.cast(pc.round(pc.multiply(t[val], 100.0)), pa.int64()) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        ks = t[key].to_numpy(zero_copy_only=False)
-        ms = np.fromiter((table[k][0] for k in ks), dtype=np.float64,
-                         count=len(t))
-        ss = np.fromiter((table[k][1] for k in ks), dtype=np.float64,
-                         count=len(t))
+        keys_arr, ms_all, ss_all = \
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cents = _cents(t[val]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # every key in the data appears in the stats (computed on the same
+        # dataset), so index_in never yields null here
+        idx = pc.index_in(t[key], value_set=keys_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ms, ss = ms_all[idx], ss_all[idx]
         with np.errstate(divide="ignore", invalid="ignore"):
             z = (cents - ms) / ss
         keep = np.abs(z) > threshold

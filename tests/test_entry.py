@@ -57,6 +57,11 @@ def test_query_runs(ray_session, sf_dir, con, name):
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
         return
+    if name == "transcripts_pipeline":
+        # its registered oracle pins the sf0.01 transcripts cache (the
+        # driver's comparison scale); the sf_dir-parameterized comparison
+        # lives in test_transcripts_pipeline_vs_duckdb below
+        return
     want = con.execute(sql).df()
     g, w = canon(got), canon(want)
     assert list(g.columns) == list(w.columns), (g.columns, w.columns)
@@ -66,10 +71,10 @@ def test_query_runs(ray_session, sf_dir, con, name):
 
 def test_transcripts_pipeline_vs_duckdb(ray_session, sf_dir, con):
     """Flagship DAG per-sink counts vs a DuckDB reconstruction of the same
-    parse → enrich → route chain over the SAME transcripts parquet. Kept
-    out of oracle_sql() only because the driver's DuckDB reading /tmp is an
-    untested assumption (CLAUDE.md backlog); this pytest closes the gap
-    with a connection where file access is known-good."""
+    parse → enrich → route chain over the SAME transcripts parquet. Since
+    round 3 the same SQL is ALSO registered in oracle_sql() (the driver's
+    DuckDB reads absolute paths for its testdata views, so /tmp works by
+    the same mechanism); this pytest stays as the known-good backstop."""
     from logstash_filter_translate_ray.pipelines.transcripts import (
         ROLE_ROUTES, TOOL_DICT)
 

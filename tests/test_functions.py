@@ -472,3 +472,24 @@ def test_winnow_batch_matches_scalar():
         for i, t in enumerate(texts):
             assert vals[ptr[i]:ptr[i + 1]].tolist() == \
                 text.winnow_fingerprints(t, k, w), (i, repr(t), k, w)
+
+
+def test_ivf_centroid_cache_invalidates_on_file_change(emb_ds, tmp_path):
+    """ADVICE r3: the cache key folds (mtime, size) of the cache_key path,
+    so regenerating a dataset at the same path rebuilds centroids."""
+    import os
+    import time
+    p = tmp_path / "ds.parquet"
+    p.write_bytes(b"v1 contents")
+    similarity._IVF_CENTROID_CACHE.clear()
+    c1 = similarity.build_ivf_centroids(emb_ds, cache_key=str(p))
+    assert len(similarity._IVF_CENTROID_CACHE) == 1
+    c2 = similarity.build_ivf_centroids(emb_ds, cache_key=str(p))
+    assert c1 is c2                        # unchanged file ⇒ cache hit
+    p.write_bytes(b"v2 contents longer")   # new size+mtime ⇒ new key
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    c3 = similarity.build_ivf_centroids(emb_ds, cache_key=str(p))
+    assert c3 is not c2
+    assert len(similarity._IVF_CENTROID_CACHE) == 2
+    # the cache is bounded
+    assert similarity._IVF_CACHE_MAX >= 2

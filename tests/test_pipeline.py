@@ -460,3 +460,15 @@ def test_cli_run_resumable_and_spec(ray_session, tmp_path, capsys):
     assert main(["spec", "--spec", spec_path]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows"] >= 2
+
+
+def test_run_pipeline_conv_counts_stay_lazy(ray_session, transcripts_path):
+    """VERDICT r2 #3: conv_turn_counts is whole-input cardinality (one row
+    per conversation) — run_pipeline must hand it back as a lazy Dataset,
+    not a driver pandas frame."""
+    import ray.data as rd
+    res = run_pipeline(transcripts_path)
+    convs = res["conv_turn_counts"]
+    assert isinstance(convs, rd.Dataset)
+    df = convs.to_pandas()          # tiny at test scale
+    assert int(df["turns"].sum()) == N_TURNS
