@@ -119,7 +119,9 @@ def run_bench(scaling_mode: bool = False) -> dict:
         assert sum(route_counts.values()) == n_turns
         headline = elapsed if headline is None else min(headline, elapsed)
 
-    # per-query timings over the sf tables (the SQL-checked operator suite)
+    # per-query timings over the sf tables (the SQL-checked operator suite);
+    # same min-of-2 policy as the headline — the first pass carries cold
+    # page-cache/import costs and shared-host drift swings single runs
     import __ray_entry__ as em
     qtimes = {}
     for name in ["translate_exact", "translate_regex", "translate_union",
@@ -131,11 +133,15 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "prev_event_gap", "event_paths", "zscore_outliers",
                  "vocab_topk", "winnow", "quality_scores"]:
         fn = em.queries()[name]
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        qtimes[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 4)
 
     result = {
         "metric": "transcripts parse→enrich→route→fan-out-write→aggregate wall time",

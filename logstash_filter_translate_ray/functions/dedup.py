@@ -487,30 +487,23 @@ def _jaccard_from_blobs(a: bytes, b: bytes) -> float:
 
 
 def _batch_jaccard_from_blobs(a_blobs: list, b_blobs: list) -> np.ndarray:
-    """Exact Jaccard for a whole BATCH of (set-blob, set-blob) pairs in one
-    segmented pass — no per-pair Python call. Each blob is a sorted-unique
-    uint64 set, so after a (pair, value) lexsort over the concatenation of
-    both sides an adjacent duplicate within a pair can only be a cross-side
-    hit: intersection = bincount of those positions."""
+    """Exact Jaccard for a batch of (set-blob, set-blob) pairs.
+
+    MEASURED decision (round 3): a whole-batch segmented rewrite — global
+    (pair, value) lexsort, and a padded-2D row-sort variant — was built and
+    benchmarked against this per-pair loop on the jaccard_pairs shape
+    (9000 pairs × ~120-element sets): per-pair 50 ms vs lexsort 450 ms
+    warm / 3.1 s cold (first-touch page cost on the ~50 MB temporaries,
+    see BASELINE.md) vs padded-2D 226 ms. Each pair's work is already a
+    few hundred elements of C sort in L1, so the ~5 µs/pair call overhead
+    is the cheapest part; the batch forms are memory-bound. Keeping the
+    per-pair numpy loop is the faster vectorization here."""
     n = len(a_blobs)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    la = np.fromiter((len(x) if x else 0 for x in a_blobs),
-                     dtype=np.int64, count=n) // 8
-    lb = np.fromiter((len(x) if x else 0 for x in b_blobs),
-                     dtype=np.int64, count=n) // 8
-    va = np.frombuffer(b"".join(x or b"" for x in a_blobs), dtype=np.uint64)
-    vb = np.frombuffer(b"".join(x or b"" for x in b_blobs), dtype=np.uint64)
-    vals = np.concatenate([va, vb])
-    pair = np.concatenate([np.repeat(np.arange(n), la),
-                           np.repeat(np.arange(n), lb)])
-    order = np.lexsort((vals, pair))
-    pv, vv = pair[order], vals[order]
-    dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
-    inter = np.bincount(pv[1:][dup], minlength=n)
-    union = la + lb - inter
-    # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (same edge rule as the scalar)
-    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return np.fromiter((_jaccard_from_blobs(a, b)
+                        for a, b in zip(a_blobs, b_blobs)),
+                       dtype=np.float64, count=n)
 
 
 def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
