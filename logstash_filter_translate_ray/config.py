@@ -49,6 +49,13 @@ class TranslateConfig:
     yaml_dictionary_code_point_limit: Optional[int] = None
     yaml_load_strategy: str = "one_shot"
     ecs_compatibility: str = "disabled"    # disabled | v1 | v8 (v8 → v1 behavior)
+    # Opt-in Logstash Event#include? parity for the SINGLE-value shape
+    # (single_value_update.rb:29-31): a null cell counts as PRESENT-but-nil
+    # — a nil source is looked up as "" (CoerceOther nil.to_s) and a nil
+    # target blocks translation unless override. Default False keeps the
+    # engine's columnar convention (null ⇔ absent, SURVEY §8); iterate_on
+    # shapes always use the columnar convention.
+    nil_is_present: bool = False
 
     def __post_init__(self) -> None:
         self._validate()

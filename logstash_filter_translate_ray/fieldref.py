@@ -48,15 +48,16 @@ def event_get(event: dict, ref: str) -> Any:
     return cur
 
 
-def event_include(event: dict, ref: str) -> bool:
+def event_include(event: dict, ref: str, nil_present: bool = False) -> bool:
     """event.include?(ref) — presence check.
 
     Engine convention (SURVEY §2.5 S1 note, hard part (b)): in the
     fixed-schema columnar model "field absent" ⇔ null cell, so a
-    present-but-None value counts as ABSENT here too — keeping the row
-    oracle and the Arrow kernel bit-identical. (LogStash's Event#include?
-    counts a present-but-nil field as present; that distinction cannot be
-    represented in a fixed Arrow schema.)
+    present-but-None value counts as ABSENT by default — keeping the row
+    oracle and the Arrow kernel bit-identical. With ``nil_present=True``
+    (the opt-in ``TranslateConfig.nil_is_present`` mode) a key that EXISTS
+    with a None value counts as present, exactly LogStash's
+    ``Event#include?`` (single_value_update.rb:29-31).
     """
     cur: Any = event
     parts = parse_field_ref(ref)
@@ -69,7 +70,7 @@ def event_include(event: dict, ref: str) -> bool:
             if not isinstance(cur, dict) or part not in cur:
                 return False
             cur = cur[part]
-    return cur is not None
+    return nil_present or cur is not None
 
 
 def event_set(event: dict, ref: str, value: Any) -> None:

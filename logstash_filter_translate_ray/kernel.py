@@ -296,10 +296,12 @@ def translate_row(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool
 
 
 def _row_single(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
-    # test_for_inclusion (single_value_update.rb:27-31)
-    if not cfg.override and event_include(event, cfg.target):
+    # test_for_inclusion (single_value_update.rb:27-31); nil_is_present is
+    # the opt-in reference-faithful presence rule (nil counts as present)
+    nil_p = cfg.nil_is_present
+    if not cfg.override and event_include(event, cfg.target, nil_p):
         return False
-    if not event_include(event, cfg.source):
+    if not event_include(event, cfg.source, nil_p):
         return False
     source = event_get(event, cfg.source)
     if isinstance(source, list):           # CoerceArray: first elem to_s
@@ -733,20 +735,52 @@ def _with_matched(tbl: pa.Table, matched_col: Optional[str], mask: np.ndarray) -
     return tbl.append_column(matched_col, arr)
 
 
+def _present_mask(tbl: pa.Table, ref: str) -> np.ndarray:
+    """Logstash ``Event#include?`` presence under the nil_is_present
+    interpretation: a field is present when its PARENT chain is valid — the
+    leaf's own null does not make it absent (single_value_update.rb:29-31:
+    a present-but-nil field counts as present). Top-level column ⇒ present
+    for every row; nested ⇒ AND of each ancestor struct's validity."""
+    n = len(tbl)
+    parts = parse_field_ref(ref)
+    head = parts[0]
+    if head not in tbl.column_names:
+        return np.zeros(n, dtype=bool)
+    col = _as_array(tbl[head])
+    mask = np.ones(n, dtype=bool)
+    for part in parts[1:]:
+        if not pa.types.is_struct(col.type) or isinstance(part, int) \
+                or part not in [f.name for f in col.type]:
+            return np.zeros(n, dtype=bool)
+        mask &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+        col = _as_array(pc.struct_field(col, part))
+    return mask
+
+
 def _inclusion_mask(tbl: pa.Table, cfg: TranslateConfig, source_field: str,
                     check_override: bool = True) -> np.ndarray:
-    """S1 + S2 as a boolean row mask. In the fixed-schema columnar world,
-    "field absent" ⇔ null cell (SURVEY §2 hard part (b)). Nested struct
-    paths are supported on both source and target."""
+    """S1 + S2 as a boolean row mask. Default engine convention: in the
+    fixed-schema columnar world "field absent" ⇔ null cell (SURVEY §2 hard
+    part (b)). With ``cfg.nil_is_present`` (opt-in Logstash
+    ``Event#include?`` parity) a null cell counts as PRESENT-but-nil:
+    presence follows the parent chain only, a nil source is looked up as
+    "" (CoerceOther nil.to_s) and a nil target blocks unless override.
+    Nested struct paths are supported on both source and target."""
     n = len(tbl)
     src_col = resolve_path_column(tbl, source_field)
     if src_col is None:
         return np.zeros(n, dtype=bool)
-    incl = pc.is_valid(src_col).to_numpy(zero_copy_only=False).copy()
+    if cfg.nil_is_present:
+        incl = _present_mask(tbl, source_field)
+    else:
+        incl = pc.is_valid(src_col).to_numpy(zero_copy_only=False).copy()
     if check_override and not cfg.override and cfg.target != source_field:
         tgt_col = resolve_path_column(tbl, cfg.target)
         if tgt_col is not None:
-            incl &= pc.is_null(tgt_col).to_numpy(zero_copy_only=False)
+            if cfg.nil_is_present:
+                incl &= ~_present_mask(tbl, cfg.target)
+            else:
+                incl &= pc.is_null(tgt_col).to_numpy(zero_copy_only=False)
     return incl
 
 
@@ -761,6 +795,9 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
         return _with_matched(out, matched_col, incl)
 
     src = coerce_source_column(resolve_path_column(tbl, cfg.source))
+    if cfg.nil_is_present:
+        # present-but-nil source: Ruby fetches with nil.to_s == ""
+        src = _as_array(pc.fill_null(src, ""))
     matched, vals, idx = _lookup(cfg.strategy, src, snap, candidates=incl)
     matched = matched & incl
 

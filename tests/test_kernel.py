@@ -540,3 +540,67 @@ def test_array_of_maps_in_place_matched_without_writes():
     res = translate_table(tbl, cfg, snap).to_pylist()
     assert res[0]["translate_matched"] is True      # included, in-place
     assert res[1]["translate_matched"] is False     # iterate_on absent
+
+
+# --------------------------------------------------------------------------
+# Round-3: opt-in nil_is_present (Event#include? parity,
+# single_value_update.rb:29-31) — closes the last documented deviation for
+# the single-value shape
+# --------------------------------------------------------------------------
+
+def test_nil_is_present_source_looked_up_as_empty():
+    """Present-but-nil source: Ruby include? says present, CoerceOther
+    fetches nil.to_s == ''. Default mode skips the row entirely."""
+    d = {"": "EMPTY", "a": "A"}
+    on = TranslateConfig(source="s", target="t", dictionary=dict(d),
+                         nil_is_present=True)
+    out = run_both(on, [{"s": None}, {"s": "a"}, {"s": "zz"}])
+    assert out[0]["t"] == "EMPTY" and out[1]["t"] == "A"
+    assert out[2].get("t") is None
+    off = TranslateConfig(source="s", target="t", dictionary=dict(d))
+    out = run_both(off, [{"s": None}, {"s": "a"}])
+    assert out[0].get("t") is None and out[1]["t"] == "A"
+
+
+def test_nil_is_present_target_blocks_without_override():
+    """Present-but-nil target blocks translation unless override — the
+    exact single_value_update.rb:29-31 behavior."""
+    cfg = TranslateConfig(source="s", target="t", dictionary={"a": "A"},
+                          nil_is_present=True)
+    out = run_both(cfg, [{"s": "a", "t": None}])
+    assert out[0].get("t") is None          # blocked: t present (nil)
+    cfg_ov = TranslateConfig(source="s", target="t", dictionary={"a": "A"},
+                             nil_is_present=True, override=True)
+    out = run_both(cfg_ov, [{"s": "a", "t": None}])
+    assert out[0]["t"] == "A"
+
+
+def test_nil_is_present_nested_parent_chain():
+    """Nested: presence follows the PARENT chain — null struct ⇒ absent,
+    valid struct with null child ⇒ present-but-nil."""
+    d = {"": "EMPTY", "x": "X"}
+    cfg = TranslateConfig(source="[meta][code]", target="[meta][cls]",
+                          dictionary=dict(d), override=True,
+                          nil_is_present=True)
+    rows = [{"meta": {"code": "x"}},   # valid chain, hit
+            {"meta": {"code": None}},  # present-but-nil → lookup ""
+            {"meta": None}]            # null parent → absent → skipped
+    out = run_both(cfg, rows)
+    assert out[0]["meta"]["cls"] == "X"
+    assert out[1]["meta"]["cls"] == "EMPTY"
+    assert (out[2].get("meta") or {}).get("cls") is None
+
+
+def test_nil_is_present_fuzz_vs_oracle():
+    """Differential fuzz with the flag on (rows always carry both keys so
+    the dict oracle and the fixed-schema table agree on key existence)."""
+    import random
+    rnd = random.Random(7)
+    d = {"": "E", "a": "A", "b": "B"}
+    for override in (False, True):
+        cfg = TranslateConfig(source="s", target="t", dictionary=dict(d),
+                              override=override, nil_is_present=True,
+                              fallback="fb")
+        rows = [{"s": rnd.choice([None, "a", "b", "zz"]),
+                 "t": rnd.choice([None, "keep"])} for _ in range(64)]
+        run_both(cfg, rows)
