@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale probe: run the dedup pipelines at N ≫ the sf test tables.
+
+The sf0.1 documents table is 5000 rows — small enough that Ray fixed
+costs dominate every bench query. This probe synthesizes a deterministic
+N-doc corpus (default 100k, 20× sf0.1) with PLANTED exact and near
+duplicates, then runs
+
+  1. exact_dedup_ids        (hash128 → native two-key min aggregate)
+  2. minhash_dedup cc=auto  (LSH candidates → distributed Jaccard verify
+                             → connected components → survivor filter)
+
+and checks the planted duplicates are found. Prints one JSON line; the
+numbers land in BASELINE.md as would-it-hold-at-scale evidence.
+
+Usage: python scripts/scale_probe.py [N_DOCS] [--distributed-cc]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+    else 100_000
+VOCAB = 5_000
+WORDS_LO, WORDS_HI = 60, 160
+EXACT_DUP_FRAC = 0.05        # doc i copies doc i - base verbatim
+NEAR_DUP_FRAC = 0.10         # doc i copies doc i - base with 3 word swaps
+SEED = 42
+N_FILES = 16
+
+
+def synth_corpus(path: str) -> tuple[int, int]:
+    """Deterministic corpus with planted duplicates. Returns the planted
+    (n_exact, n_near) counts. Cached on disk by (N, seed)."""
+    if os.path.isdir(path) and len(os.listdir(path)) == N_FILES:
+        meta = json.load(open(os.path.join(path, "..",
+                                           f"meta_{N_DOCS}.json")))
+        return meta["n_exact"], meta["n_near"]
+    rng = np.random.RandomState(SEED)
+    vocab = np.array([f"w{i:04d}" for i in range(VOCAB)], dtype=object)
+    lens = rng.randint(WORDS_LO, WORDS_HI, size=N_DOCS)
+    texts: list = [None] * N_DOCS
+    n_exact = n_near = 0
+    base_span = 1000           # dup sources come from the previous span
+    for i in range(N_DOCS):
+        r = rng.rand()
+        if i >= base_span and r < EXACT_DUP_FRAC:
+            texts[i] = texts[i - base_span]
+            n_exact += 1
+        elif i >= base_span and r < EXACT_DUP_FRAC + NEAR_DUP_FRAC:
+            words = texts[i - base_span].split()
+            for _ in range(3):
+                words[rng.randint(len(words))] = vocab[rng.randint(VOCAB)]
+            texts[i] = " ".join(words)
+            n_near += 1
+        else:
+            texts[i] = " ".join(vocab[rng.randint(0, VOCAB, size=lens[i])])
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (N_DOCS + N_FILES - 1) // N_FILES
+    for f in range(N_FILES):
+        lo, hi = f * per, min((f + 1) * per, N_DOCS)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(lo, hi), type=pa.int64()),
+                      "text": pa.array(texts[lo:hi], type=pa.string())}),
+            os.path.join(path, f"part-{f:03d}.parquet"))
+    json.dump({"n_exact": n_exact, "n_near": n_near},
+              open(os.path.join(path, "..", f"meta_{N_DOCS}.json"), "w"))
+    return n_exact, n_near
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from logstash_filter_translate_ray.functions.dedup import (
+        exact_dedup_ids, minhash_dedup)
+
+    root = "/tmp/lftr_scale_probe"
+    corpus = os.path.join(root, f"docs_{N_DOCS}")
+    n_exact, n_near = synth_corpus(corpus)
+
+    read = lambda: rd.read_parquet(corpus, columns=["doc_id", "text"])
+    # warm page cache + worker pool + per-worker package imports (untimed)
+    exact_dedup_ids(read().limit(1000)).count()
+
+    t0 = time.perf_counter()
+    survivors = exact_dedup_ids(read()).count()
+    t_exact = time.perf_counter() - t0
+    assert survivors == N_DOCS - n_exact, (survivors, N_DOCS - n_exact)
+
+    cc = "distributed" if "--distributed-cc" in sys.argv else "auto"
+    t0 = time.perf_counter()
+    kept, dropped = minhash_dedup(read(), threshold=0.7, num_perm=64,
+                                  bands=16, concurrency=8,
+                                  num_partitions=8, cc=cc)
+    n_kept = kept.count()
+    n_dropped = (len(dropped) if isinstance(dropped, list)
+                 else dropped.count())
+    t_minhash = time.perf_counter() - t0
+    # every planted exact+near dup should fall (3 swaps in 60-160 words
+    # keeps Jaccard far above 0.7); random word-soup docs share few
+    # 3-shingles, so false drops should be ≈ 0
+    result = {
+        "n_docs": N_DOCS, "planted_exact": n_exact, "planted_near": n_near,
+        "exact_dedup_ids_sec": round(t_exact, 2),
+        "exact_survivors": int(survivors),
+        "minhash_cc_mode": cc,
+        "minhash_dedup_sec": round(t_minhash, 2),
+        "minhash_kept": int(n_kept), "minhash_dropped": int(n_dropped),
+        "expected_dropped": n_exact + n_near,
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
