@@ -267,10 +267,12 @@ def minhash_signatures_batch(sh: np.ndarray, sh_ptr: np.ndarray,
 
 
 class MinHashStage:
-    """Actor-pool stage: permutation params built once per actor; each batch
-    → (id, bucket) rows, ``bands`` per doc, fully vectorized (band hashes
-    are a positional-multiplier mix of the signature segment — no per-doc
-    crc32)."""
+    """Batch stage: permutation params built once (on the driver — ~1 KB,
+    closure-captured into warm TASK workers; an actor pool here pays more
+    in spawn than the init saves, measured in minhash_candidate_pairs);
+    each batch → (id, bucket) rows, ``bands`` per doc, fully vectorized
+    (band hashes are a positional-multiplier mix of the signature
+    segment — no per-doc crc32)."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id",
                  k: int = 3, num_perm: int = 64, bands: int = 16, seed: int = 42):
@@ -436,10 +438,15 @@ def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
     """Banded-LSH candidate pairs: (id_a, id_b) with id_a < id_b that share
     at least one band bucket (distinct — band-level duplicates removed by a
     native hash aggregate)."""
+    # TASK pool, not actor pool (measured, 100k docs × 64 perms, 32 CPUs):
+    # warm task workers 2.7 s vs fresh actor pool 13–24 s. MinHashStage's
+    # __init__ builds ~1 KB of permutation params — build ONCE on the
+    # driver and closure-capture it; an actor pool only pays off when
+    # per-actor setup (model load, big dict compile) rivals actor spawn.
+    stage = MinHashStage(col=col, id_col=id_col, k=k,
+                         num_perm=num_perm, bands=bands)
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k,
-                                   num_perm=num_perm, bands=bands),
+        lambda t, _s=stage: _s(t),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     pairs = bucket_candidate_pairs(banded, "bucket", id_col,
                                    hot_cap=hot_cap, num_groups=num_groups)
@@ -888,10 +895,12 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     degenerate hot buckets; pass ``None`` on bounded inputs). Raise
     ``sample_mod`` at scale to cut the blocking shuffle 1/mod-fold at a
     quantified recall cost."""
+    # task pool for the same reason as minhash_candidate_pairs: the stage
+    # holds 4 scalars — actor spawn would dominate
+    ex_stage = ShingleExplode(col=col, id_col=id_col, k=k,
+                              sample_mod=sample_mod)
     exploded = ds.map_batches(
-        ShingleExplode,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, k=k,
-                                   sample_mod=sample_mod),
+        lambda t, _s=ex_stage: _s(t),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     pairs = distinct_pairs(bucket_candidate_pairs(
         exploded, "shingle", id_col, hot_cap=hot_cap,

@@ -215,8 +215,12 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                             upper_only=True))
         return pa.concat_tables(parts) if parts else empty
 
-    exploded = ds.map_batches(_Explode, batch_format="pyarrow",
-                              batch_size=None, concurrency=(1, 4))
+    # task pool: the lazily-built plane matrix is seeded + deterministic,
+    # so per-worker rebuilds are identical and cost ~µs (dim × L·r floats);
+    # actor spawn would dominate (see the dedup minhash measurement)
+    ex = _Explode()
+    exploded = ds.map_batches(lambda t, _s=ex: _s(t),
+                              batch_format="pyarrow", batch_size=None)
     pairs = exploded.map_batches(add_gb, batch_format="pyarrow",
                                  batch_size=None) \
         .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
@@ -343,11 +347,11 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
     q = np.atleast_2d(np.asarray(query, dtype=np.float32))
     if dim is None:
         dim = q.shape[1]
+    # task pool: the stage holds a dim × n_planes float32 plane matrix
+    # (~KBs) — closure-capture beats actor spawn (see minhash note)
     stage = LshIndexStage(dim, n_planes, seed, vec_col)
     bucketed = ds.map_batches(
-        LshIndexStage,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
-                                   vec_col=vec_col),
+        lambda t, _s=stage: _s(t),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     q_sig = int(stage.signature(_normalize(q))[0])
     probes = {q_sig}
