@@ -411,6 +411,35 @@ def q_quality_scores(sf_dir: str):
     return quality_dataset(ds).select_columns(["doc_id", "quality_score"])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Flagship LLM-data CURATION chain over the documents table — the
+    composition a training-data pipeline actually runs: quality score →
+    filter ≥ 0.5 → language-ID → keep 'en' → exact dedup (min-id per
+    distinct text among survivors) → per-doc token counts. Every stage is
+    SQL-mirrorable, so the WHOLE chain is hash-checked against one DuckDB
+    oracle. Single fused map_batches for the row-local stages; the only
+    shuffle is the dedup groupby."""
+    import pyarrow.compute as pc
+    from logstash_filter_translate_ray.functions.dedup import exact_dedup
+    from logstash_filter_translate_ray.functions.text import (
+        langid_batch, quality_batch, token_count_batch)
+
+    def enrich_filter(t: pa.Table) -> pa.Table:
+        t = quality_batch(t)
+        t = t.filter(pc.greater_equal(t["quality_score"], 0.5))
+        t = langid_batch(t)
+        t = t.filter(pc.equal(t["lang_pred"], "en"))
+        return t.select(["doc_id", "text", "quality_score", "lang_pred"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = ds.map_batches(enrich_filter, batch_format="pyarrow",
+                          batch_size=None)
+    surv = exact_dedup(kept)          # full rows, min doc_id per text
+    return surv.map_batches(
+        lambda t: token_count_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_lsh_topk(sf_dir: str):
     """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
     from logstash_filter_translate_ray.functions.similarity import lsh_topk
@@ -652,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers": q_zscore_outliers,
         "event_paths": q_event_paths,
         "lsh_topk": q_lsh_topk,
+        "curation_pipeline": q_curation_pipeline,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_pipeline": q_events_pipeline,
@@ -790,6 +820,27 @@ def _transcripts_pipeline_sql() -> str:
         "FROM e GROUP BY 1, 2")
 
 
+def _curation_sql() -> str:
+    """One oracle for the whole curation chain (quality filter → langid
+    filter → exact dedup → token counts), reusing the per-stage SQL
+    mirrors as derived tables (DuckDB allows a WITH inside a subquery)."""
+    from logstash_filter_translate_ray.functions.text import (
+        BPE_TOKEN_RE, WS_TOKEN_RE)
+    return (
+        f"WITH q AS (SELECT * FROM ({_quality_sql()})), "
+        f"l AS (SELECT * FROM ({_langid_sql()})), "
+        "keep AS (SELECT d.doc_id, d.text, q.quality_score, l.lang_pred "
+        "FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) "
+        "WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'), "
+        "surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY text) "
+        "SELECT k.doc_id, k.quality_score, k.lang_pred, "
+        f"CAST(len(regexp_extract_all(k.text, '{WS_TOKEN_RE}')) AS BIGINT) "
+        "AS n_tokens_ws, "
+        f"CAST(len(regexp_extract_all(k.text, '{BPE_TOKEN_RE}')) AS BIGINT) "
+        "AS n_tokens_bpe "
+        "FROM keep k JOIN surv USING (doc_id)")
+
+
 def oracle_sql() -> dict[str, str]:
     exact_case = _case_exact("event_type", EVENT_LABELS, "unknown")
     exact_case_nf = _case_exact("event_type", EVENT_LABELS, None)
@@ -899,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
         "transcripts_pipeline": _transcripts_pipeline_sql(),
+        "curation_pipeline": _curation_sql(),
         "vocab_topk":
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "

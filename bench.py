@@ -131,7 +131,8 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "ann_topk", "sort_limit", "tumbling_counts",
                  "session_counts", "events_pipeline",
                  "prev_event_gap", "event_paths", "zscore_outliers",
-                 "vocab_topk", "winnow", "quality_scores"]:
+                 "vocab_topk", "winnow", "quality_scores",
+                 "curation_pipeline"]:
         fn = em.queries()[name]
         best = None
         for _ in range(2):
