@@ -34,6 +34,19 @@ Every ``translate`` block takes the FULL option surface of
 :class:`~..config.TranslateConfig` (field/destination aliases, exact/regex,
 iterate_on, refresh_*, yaml_* — validation errors match the plugin's).
 
+Text-analysis filter kinds (LLM-data curation; each appends columns):
+
+    - quality: {col: text}          # punct/stop ratios + quality_score
+    - langid: {col: text}           # lang_pred
+    - tokens: {col: text}           # n_tokens_ws, n_tokens_bpe
+    - fingerprint: {col: text}      # 64-bit content fingerprint
+    - winnow: {col: text, k: 5, w: 4}
+    - simhash: {col: text}
+    - keep: {column: quality_score, op: ">=", value: 0.5}   # row filter
+
+so a full curation chain (quality → keep → langid → keep → dedup →
+tokens) is expressible as a spec with no Python.
+
 Optional post-route clauses (applied in this order):
 
     dedup:     {kind: exact | minhash, ...kwargs}
@@ -65,6 +78,50 @@ def load_spec(path_or_dict: "str | dict") -> dict:
         return json.loads(text)
     import yaml
     return yaml.safe_load(text)
+
+
+def _text_stage(name: str):
+    def make(ds, **kw):
+        from ..functions import dedup as _dd
+        from ..functions import text as _tx
+        fns = {"quality": _tx.quality_dataset,
+               "langid": _tx.langid_dataset,
+               "tokens": _tx.token_count_dataset,
+               "fingerprint": _tx.fingerprint_dataset,
+               "winnow": _tx.winnow_dataset,
+               "simhash": _dd.simhash_dataset}
+        return fns[name](ds, **kw)
+    return make
+
+
+_TEXT_STAGES = {k: _text_stage(k) for k in
+                ("quality", "langid", "tokens", "fingerprint", "winnow",
+                 "simhash")}
+
+_KEEP_OPS = {">=", ">", "<=", "<", "==", "!=", "in"}
+
+
+def _keep_filter(ds, opts: dict):
+    """Vectorized row filter: keep rows where <column> <op> <value>."""
+    col, op = opts.get("column"), opts.get("op", "==")
+    val = opts.get("value")
+    if not col or op not in _KEEP_OPS:
+        raise ConfigurationError(
+            f"keep requires column + op in {sorted(_KEEP_OPS)}, got {opts}")
+
+    def fn(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        c = t[col]
+        if op == "in":
+            mask = pc.is_in(c, value_set=pa.array(list(val)))
+        else:
+            mask = {">=": pc.greater_equal, ">": pc.greater,
+                    "<=": pc.less_equal, "<": pc.less,
+                    "==": pc.equal, "!=": pc.not_equal}[op](c, val)
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def build_from_spec(spec: "str | dict") -> "rd.Dataset":
@@ -106,6 +163,10 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
                                pattern=opts["pattern"],
                                cast=opts.get("cast"))
             ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
+        elif kind in _TEXT_STAGES:
+            ds = _TEXT_STAGES[kind](ds, **(opts or {}))
+        elif kind == "keep":
+            ds = _keep_filter(ds, opts)
         else:
             raise ConfigurationError(f"unknown filter kind {kind!r}")
 

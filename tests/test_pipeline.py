@@ -472,3 +472,53 @@ def test_run_pipeline_conv_counts_stay_lazy(ray_session, transcripts_path):
     assert isinstance(convs, rd.Dataset)
     df = convs.to_pandas()          # tiny at test scale
     assert int(df["turns"].sum()) == N_TURNS
+
+
+def test_spec_curation_chain_matches_programmatic(ray_session, sf_dir):
+    """The declarative text-analysis + keep + dedup spec reproduces the
+    programmatic curation pipeline (q_curation_pipeline) row for row."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+
+    spec = {
+        "input": {"path": f"{sf_dir}/documents.parquet",
+                  "columns": ["doc_id", "text"]},
+        "filters": [
+            {"quality": {}},
+            {"keep": {"column": "quality_score", "op": ">=", "value": 0.5}},
+            {"langid": {}},
+            {"keep": {"column": "lang_pred", "op": "==", "value": "en"}},
+        ],
+        "dedup": {"kind": "exact"},
+    }
+    from logstash_filter_translate_ray.functions.text import token_count_batch
+    got = build_from_spec(spec).map_batches(
+        lambda t: token_count_batch(t).drop_columns(
+            ["text", "punct_ratio", "stop_ratio"]),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    want = em.q_curation_pipeline(sf_dir).to_pandas()
+    cols = sorted(want.columns)
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    w = want[cols].sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_spec_keep_ops(ray_session, sf_dir):
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    base = {"input": {"path": f"{sf_dir}/documents.parquet",
+                      "columns": ["doc_id", "text"]}}
+    n_all = build_from_spec(base).count()
+    half = build_from_spec({**base, "filters": [
+        {"keep": {"column": "doc_id", "op": "<", "value": 50}}]}).count()
+    assert half == 50 and n_all > half
+    isin = build_from_spec({**base, "filters": [
+        {"keep": {"column": "doc_id", "op": "in", "value": [1, 2, 3]}}]}).count()
+    assert isin == 3
+    import pytest as _pytest
+    with _pytest.raises(ConfigurationError):
+        build_from_spec({**base, "filters": [
+            {"keep": {"column": "doc_id", "op": "~", "value": 1}}]})
