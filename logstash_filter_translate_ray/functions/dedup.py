@@ -20,9 +20,9 @@ shuffles are
    ``map_batches`` over the joined pairs.
 
 No whole-dataset ``to_pandas()`` / driver text dict anywhere. Connected
-components still run on the driver over the VERIFIED pair list only — valid
-while duplicate clusters are sparse (the common case; swap for min-label
-propagation when verified pairs outgrow the driver).
+components pick their path automatically (``cc='auto'``): driver union-find
+over the VERIFIED pair list while it is driver-sized (≤ 1M pairs), min-label
+propagation (all-distributed) above.
 """
 
 from __future__ import annotations
