@@ -278,7 +278,12 @@ def fingerprint_batch(tbl: pa.Table, col: str = "text",
     XOR md5-UPPER64 of its whitespace-normalized form (different digest
     halves, so already-normalized text does NOT cancel to 0). uint64;
     stable across processes/runs, and exactly DuckDB's
-    ``xor(md5_number_lower(text), md5_number_upper(regexp_replace(...)))``."""
+    ``xor(md5_number_lower(text), md5_number_upper(regexp_replace(...)))``.
+
+    MEASURED (round 3): swapping the per-row md5 loop for vectorized
+    ``pd.util.hash_array`` siphash passes is only 1.1× at 5000 × ~300-char
+    docs — the C digest is not the bottleneck (the RE2 normalize and the
+    pylist conversion are), so the SQL-verifiable md5 stays."""
     c = tbl[col]
     norm = pc.replace_substring_regex(c, pattern=r"\s+", replacement=" ")
     raw = c.to_pylist()
