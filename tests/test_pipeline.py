@@ -522,3 +522,25 @@ def test_spec_keep_ops(ray_session, sf_dir):
     with _pytest.raises(ConfigurationError):
         build_from_spec({**base, "filters": [
             {"keep": {"column": "doc_id", "op": "~", "value": 1}}]})
+
+
+def test_typed_fallback_block_invariant_through_ray(ray_session, tmp_path):
+    """ADVICE r3 end-to-end: a multi-block Dataset with a typed dict +
+    string fallback must concat/write cleanly regardless of which blocks
+    happen to be all-hit — the target type is block-invariant (string)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from logstash_filter_translate_ray import TranslateConfig
+    from logstash_filter_translate_ray.stages import translate_dataset
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": 100, "b": 200}, fallback="fb")
+    # block 0: all hits; block 1: contains a miss
+    ds = rd.from_arrow([pa.table({"s": ["a", "b", "a"]}),
+                        pa.table({"s": ["a", "zz", "b"]})])
+    out = translate_dataset(ds, cfg, matched_col=None)
+    df = out.to_pandas()                       # concat across blocks
+    assert df["t"].tolist() == ["100", "200", "100", "100", "fb", "200"]
+    out_dir = str(tmp_path / "ti")
+    translate_dataset(ds, cfg, matched_col=None).write_parquet(out_dir)
+    import pyarrow.parquet as pq
+    assert pq.read_table(out_dir)["t"].type == pa.string()

@@ -153,3 +153,30 @@ def test_kernel_equals_oracle_nested_source_target(d, codes, fallback):
                           dictionary=d, fallback=fallback, override=True)
     rows = [{"meta": ({"code": c} if c is not None else None)} for c in codes]
     run_both(cfg, rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    d=st.dictionaries(keys, str_values, min_size=1, max_size=6),
+    codes=st.lists(st.one_of(st.none(), keys), min_size=1, max_size=8),
+    metas=st.data(),
+    fallback=st.one_of(st.none(), st.just("fb")),
+    override=st.booleans(),
+)
+def test_kernel_equals_oracle_nil_is_present_nested(d, codes, metas,
+                                                    fallback, override):
+    """nil_is_present fuzz over nested struct paths: null struct = absent,
+    valid struct with null child = present-but-nil ('' lookup)."""
+    cfg = TranslateConfig(source="[meta][code]", target="[meta][cls]",
+                          dictionary=d, fallback=fallback,
+                          override=override, nil_is_present=True)
+    rows = []
+    for c in codes:
+        shape = metas.draw(st.sampled_from(["null", "code_null", "code"]))
+        if shape == "null":
+            rows.append({"meta": None})
+        elif shape == "code_null":
+            rows.append({"meta": {"code": None, "cls": None}})
+        else:
+            rows.append({"meta": {"code": c, "cls": None}})
+    run_both(cfg, rows)
