@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (44; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (45; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -18,8 +18,9 @@ embedding_neardup_lsh — approximate by design — are rows-only):
                zscore_outliers★ vocab_topk★
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
                event_paths★
-  dedup:       dedup_exact★ minhash_pairs★ simhash★ simhash_pairs★
-               embedding_neardup★ embedding_neardup_lsh jaccard_pairs★
+  dedup:       dedup_exact★ incremental_dedup★ minhash_pairs★ simhash★
+               simhash_pairs★ embedding_neardup★ embedding_neardup_lsh
+               jaccard_pairs★
   similarity:  ann_topk★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
@@ -602,6 +603,20 @@ def q_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b"]]
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-dataset exact dedup (incremental-ingest shape): the full
+    documents table filtered against a 'seen' corpus (doc_id < 250) by a
+    16-byte content-hash anti-join — the text itself never shuffles."""
+    from logstash_filter_translate_ray.functions.dedup import (
+        incremental_dedup)
+    import pyarrow.compute as pc
+    seen = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 250")
+    new = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = incremental_dedup(new, seen)
+    return out.select_columns(["doc_id"])
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a < id_b)."""
     from logstash_filter_translate_ray.functions.similarity import (
@@ -682,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": q_lsh_topk,
         "curation_pipeline": q_curation_pipeline,
         "embedding_neardup": q_embedding_neardup,
+        "incremental_dedup": q_incremental_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
@@ -948,6 +964,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type FROM events UNION ALL "
             "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
+        "incremental_dedup":
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
+            "AND s.text = d.text)",
         # built separately below: its /tmp cache generation must not be able
         # to take every other oracle down with it
         "curation_pipeline": _curation_sql(),

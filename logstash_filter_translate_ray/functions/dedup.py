@@ -219,6 +219,137 @@ def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# cross-dataset (incremental-ingest) dedup: drop rows of a NEW dataset whose
+# content already exists in a SEEN dataset
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(ds_new, ds_seen, col: str = "text",
+                      id_col: str = "doc_id", num_partitions: int = 4):
+    """EXACT cross-dataset dedup — the shape of incremental corpus ingest:
+    keep only the rows of ``ds_new`` whose content does not appear in
+    ``ds_seen``. Anti-join on the 128-bit content hash: the shuffle moves
+    16 bytes + an id per row, never the text; the seen side is first
+    reduced to DISTINCT hashes by a native aggregate."""
+    def _hash_i64(t: pa.Table, keep_all: bool) -> pa.Table:
+        # int64 VIEW of the uint64 hashes: Dataset.join's hash shuffle
+        # handles uint64 keys as pickled objects (Acero then rejects the
+        # mixed types); the bit-pattern view is join-equivalent
+        t2, _ = add_content_hash(t, col)
+        h1 = t2["content_hash"].combine_chunks() \
+            if isinstance(t2["content_hash"], pa.ChunkedArray) \
+            else t2["content_hash"]
+        h2 = t2["content_hash2"].combine_chunks() \
+            if isinstance(t2["content_hash2"], pa.ChunkedArray) \
+            else t2["content_hash2"]
+        h1 = pa.array(h1.to_numpy(zero_copy_only=False).view(np.int64))
+        h2 = pa.array(h2.to_numpy(zero_copy_only=False).view(np.int64))
+        base = t if keep_all else t.select([])
+        out = base.drop_columns(
+            [c for c in ("content_hash", "content_hash2")
+             if c in base.column_names])
+        out = out.append_column("content_hash", h1)
+        return out.append_column("content_hash2", h2)
+
+    seen = ds_seen.map_batches(lambda t: _hash_i64(t, keep_all=False),
+                               batch_format="pyarrow", batch_size=None)
+    flagged = seen.groupby(["content_hash", "content_hash2"]) \
+        .count() \
+        .map_batches(lambda t: pa.table({
+            "content_hash": t["content_hash"],
+            "content_hash2": t["content_hash2"],
+            "_seen": pa.array([True] * len(t))}),
+            batch_format="pyarrow", batch_size=None) \
+        .repartition(num_partitions)
+    new_h = ds_new.map_batches(
+        lambda t: _hash_i64(t, keep_all=True),
+        batch_format="pyarrow", batch_size=None).repartition(num_partitions)
+    joined = new_h.join(flagged, "left_outer", num_partitions,
+                        on=("content_hash", "content_hash2"))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_seen"]))
+        .drop_columns(["content_hash", "content_hash2", "_seen"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+class Bloom:
+    """Fixed-size bloom filter over 128-bit content hashes, fully
+    vectorized: k probe positions by double hashing
+    ``pos_i = (h1 + i·h2) mod m``. No false negatives; false-positive rate
+    ≈ (1 − e^{−kn/m})^k."""
+
+    def __init__(self, n_bits: int = 1 << 24, k: int = 7,
+                 bits: Optional[np.ndarray] = None):
+        assert n_bits % 64 == 0
+        self.n_bits, self.k = n_bits, k
+        self.bits = bits if bits is not None \
+            else np.zeros(n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)          # k × n
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def build_seen_bloom(ds_seen, col: str = "text", n_bits: int = 1 << 24,
+                     k: int = 7) -> Bloom:
+    """Per-block partial blooms OR-merged: each block contributes one
+    ``n_bits/8``-byte blob row; the merge is a driver loop over #blocks
+    blobs (2 MiB each at the default) — swap for a tree of ``ray.remote``
+    OR tasks when #blocks × n_bits/8 outgrows the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2, h1 = add_content_hash(t, col)
+        h2 = t2["content_hash2"].to_numpy(zero_copy_only=False)
+        b = Bloom(n_bits, k)
+        b.add(h1, h2.astype(np.uint64))
+        return pa.table({"blob": pa.array([b.bits.tobytes()],
+                                          type=pa.binary())})
+
+    out = Bloom(n_bits, k)
+    for batch in ds_seen.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None).iter_batches(
+                                         batch_format="pyarrow"):
+        for blob in batch["blob"].to_pylist():
+            out.bits |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def bloom_filter_dedup(ds_new, bloom: Bloom, col: str = "text"):
+    """Approximate cross-dataset dedup: drop rows of ``ds_new`` whose
+    content hash is (probably) in the broadcast seen-bloom. NO false
+    negatives — a surviving row is guaranteed new; false positives drop
+    ~(1−e^{−kn/m})^k of genuinely-new rows. The scale pre-filter in front
+    of :func:`incremental_dedup` when the seen set outgrows a join side:
+    the bloom is ``n_bits/8`` bytes total regardless of corpus size."""
+    import ray
+    ref = ray.put(bloom)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t2, h1 = add_content_hash(t, col)
+        h2 = t2["content_hash2"].to_numpy(zero_copy_only=False)
+        mask = ~b.contains(h1, h2.astype(np.uint64))
+        return t.filter(pa.array(mask))
+
+    return ds_new.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # minhash signatures (batched: chunked (P × S) modmul + segmented min)
 # ---------------------------------------------------------------------------
 

@@ -493,3 +493,44 @@ def test_ivf_centroid_cache_invalidates_on_file_change(emb_ds, tmp_path):
     assert len(similarity._IVF_CENTROID_CACHE) == 2
     # the cache is bounded
     assert similarity._IVF_CACHE_MAX >= 2
+
+
+# ---------------------------------------------------------------------------
+# cross-dataset (incremental) dedup: exact anti-join + bloom pre-filter
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_exact(ray_session):
+    import ray.data as rd
+    seen = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                   "text": ["alpha", "beta"]}))
+    new = rd.from_arrow(pa.table({"doc_id": [10, 11, 12, 13],
+                                  "text": ["alpha", "gamma", "beta",
+                                           "delta"]}))
+    out = dedup.incremental_dedup(new, seen).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13]        # gamma, delta survive
+    assert sorted(out.columns) == ["doc_id", "text"]
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    """Every seen doc must be flagged (no false negatives); on disjoint
+    new docs the drop rate stays near the theoretical FP bound."""
+    import ray.data as rd
+    n_seen, n_new = 2000, 2000
+    seen_t = pa.table({"doc_id": list(range(n_seen)),
+                       "text": [f"seen doc {i} xyz" for i in range(n_seen)]})
+    new_t = pa.table({"doc_id": list(range(n_new)),
+                      "text": [f"new doc {i} abc" for i in range(n_new)]})
+    bloom = dedup.build_seen_bloom(rd.from_arrow(seen_t), n_bits=1 << 18,
+                                   k=7)
+    # no false negatives: re-filtering the seen set drops EVERYTHING
+    kept_seen = dedup.bloom_filter_dedup(rd.from_arrow(seen_t),
+                                         bloom).count()
+    assert kept_seen == 0
+    # disjoint new set: drops ≈ fp rate; (1-e^{-kn/m})^k ≈ 2.6e-6 at these
+    # params — allow a generous 1% bound
+    kept_new = dedup.bloom_filter_dedup(rd.from_arrow(new_t), bloom).count()
+    assert kept_new >= n_new * 0.99
+    # survivors of the bloom are guaranteed-new: exact verify agrees
+    exact = dedup.incremental_dedup(rd.from_arrow(new_t),
+                                    rd.from_arrow(seen_t)).count()
+    assert exact == n_new
