@@ -252,6 +252,9 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
 
     seen = ds_seen.map_batches(lambda t: _hash_i64(t, keep_all=False),
                                batch_format="pyarrow", batch_size=None)
+    # materialize the (small, distinct) seen side: the empty case must
+    # short-circuit — an empty operand reaches Acero as zero-COLUMN blocks
+    # the per-partition join rejects
     flagged = seen.groupby(["content_hash", "content_hash2"]) \
         .count() \
         .map_batches(lambda t: pa.table({
@@ -259,10 +262,15 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
             "content_hash2": t["content_hash2"],
             "_seen": pa.array([True] * len(t))}),
             batch_format="pyarrow", batch_size=None) \
-        .repartition(num_partitions)
+        .repartition(num_partitions).materialize()
+    if flagged.count() == 0:
+        return ds_new
     new_h = ds_new.map_batches(
         lambda t: _hash_i64(t, keep_all=True),
-        batch_format="pyarrow", batch_size=None).repartition(num_partitions)
+        batch_format="pyarrow", batch_size=None) \
+        .repartition(num_partitions).materialize()
+    if new_h.count() == 0:
+        return ds_new
     joined = new_h.join(flagged, "left_outer", num_partitions,
                         on=("content_hash", "content_hash2"))
     return joined.map_batches(

@@ -534,3 +534,16 @@ def test_bloom_no_false_negatives_and_fp_rate(ray_session):
     exact = dedup.incremental_dedup(rd.from_arrow(new_t),
                                     rd.from_arrow(seen_t)).count()
     assert exact == n_new
+
+
+def test_incremental_dedup_empty_edges(ray_session):
+    """Empty seen ⇒ identity; empty new ⇒ empty (Acero rejects zero-column
+    empty join operands, so both short-circuit)."""
+    import ray.data as rd
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    new = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["a", "b"]}))
+    assert sorted(dedup.incremental_dedup(new, empty)
+                  .to_pandas()["doc_id"]) == [1, 2]
+    assert dedup.incremental_dedup(empty, new).count() == 0
