@@ -49,7 +49,10 @@ tokens) is expressible as a spec with no Python.
 
 Optional post-route clauses (applied in this order):
 
-    dedup:     {kind: exact | minhash, ...kwargs}
+    dedup:     {kind: exact | minhash | incremental, ...kwargs}
+               # incremental: seen_path (+ optional seen_columns) names the
+               # already-ingested corpus; rows whose content appears there
+               # are dropped (exact content-hash anti-join)
     window:    {kind: tumbling | gap | sessions | paths, ...kwargs}
     aggregate: {group_by: [route, tool_label], count_name: n,
                 driver_merge: false}
@@ -183,6 +186,16 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
             ds = _dedup.exact_dedup(ds, **d)
         elif kind == "minhash":
             ds, _dropped = _dedup.minhash_dedup(ds, **d)
+        elif kind == "incremental":
+            # drop rows whose content already exists in a SEEN corpus
+            seen_path = d.pop("seen_path", None)
+            if not seen_path:
+                raise ConfigurationError(
+                    "dedup kind 'incremental' requires seen_path")
+            seen_cols = d.pop("seen_columns", None)
+            seen = rd.read_parquet(seen_path, **(
+                {"columns": list(seen_cols)} if seen_cols else {}))
+            ds = _dedup.incremental_dedup(ds, seen, **d)
         else:
             raise ConfigurationError(f"unknown dedup kind {kind!r}")
 

@@ -544,3 +544,19 @@ def test_typed_fallback_block_invariant_through_ray(ray_session, tmp_path):
     translate_dataset(ds, cfg, matched_col=None).write_parquet(out_dir)
     import pyarrow.parquet as pq
     assert pq.read_table(out_dir)["t"].type == pa.string()
+
+
+def test_spec_incremental_dedup_clause(ray_session, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+    seen_path = str(tmp_path / "seen.parquet")
+    new_path = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({"doc_id": [1], "text": ["alpha"]}), seen_path)
+    pq.write_table(pa.table({"doc_id": [10, 11],
+                             "text": ["alpha", "beta"]}), new_path)
+    out = build_from_spec({
+        "input": {"path": new_path},
+        "dedup": {"kind": "incremental", "seen_path": seen_path},
+    }).to_pandas()
+    assert out["doc_id"].tolist() == [11]
