@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (45; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (48; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -21,6 +21,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
   dedup:       dedup_exact★ incremental_dedup★ minhash_pairs★ simhash★
                simhash_pairs★ embedding_neardup★ embedding_neardup_lsh
                jaccard_pairs★
+  sampling:    hash_sample★ split_counts★ weighted_mix★
   similarity:  ann_topk★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
@@ -603,6 +604,35 @@ def q_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b"]]
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% corpus sample (md5-bucket row rule — no RNG, no
+    shuffle; the DuckDB mirror is the identical expression)."""
+    from logstash_filter_translate_ray.functions.sampling import hash_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return hash_sample(ds, col="doc_id", fraction=0.1) \
+        .select_columns(["doc_id"])
+
+
+def q_split_counts(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split — per-split row counts."""
+    from logstash_filter_translate_ray.functions.sampling import split_column
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return grouped_counts(split_column(ds, col="doc_id"), ["split"],
+                          driver_merge=True)
+
+
+def q_weighted_mix(sf_dir: str):
+    """Deterministic corpus mixing: a 'high-quality' slice (doc_id < 250)
+    at rate 0.5 unioned with the rest at rate 0.1 — the down-weight-the-
+    crawl shape, reproducible with no random state."""
+    import pyarrow.compute as pc
+    from logstash_filter_translate_ray.functions.sampling import weighted_mix
+    hq = _read(sf_dir, "documents", ["doc_id"]).filter(expr="doc_id < 250")
+    rest = _read(sf_dir, "documents", ["doc_id"]).filter(expr="doc_id >= 250")
+    return weighted_mix([(hq, 0.5), (rest, 0.1)], col="doc_id")
+
+
 def q_incremental_dedup(sf_dir: str):
     """Cross-dataset exact dedup (incremental-ingest shape): the full
     documents table filtered against a 'seen' corpus (doc_id < 250) by a
@@ -698,6 +728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "embedding_neardup": q_embedding_neardup,
         "incremental_dedup": q_incremental_dedup,
+        "hash_sample": q_hash_sample,
+        "split_counts": q_split_counts,
+        "weighted_mix": q_weighted_mix,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
@@ -968,6 +1001,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
             "AND s.text = d.text)",
+        "hash_sample":
+            "SELECT doc_id FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",
+        "split_counts":
+            "SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train' "
+            "WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val' ELSE 'test' END AS split, "
+            "COUNT(*) AS n FROM documents GROUP BY 1",
+        "weighted_mix":
+            "SELECT doc_id FROM documents WHERE doc_id < 250 "
+            "AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 5000 "
+            "UNION ALL SELECT doc_id FROM documents WHERE doc_id >= 250 "
+            "AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",
         # built separately below: its /tmp cache generation must not be able
         # to take every other oracle down with it
         "curation_pipeline": _curation_sql(),

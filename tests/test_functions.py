@@ -547,3 +547,52 @@ def test_incremental_dedup_empty_edges(ray_session):
     assert sorted(dedup.incremental_dedup(new, empty)
                   .to_pandas()["doc_id"]) == [1, 2]
     assert dedup.incremental_dedup(empty, new).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting / mixing
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_fractional(docs_ds):
+    from logstash_filter_translate_ray.functions import sampling
+    a = sorted(sampling.hash_sample(docs_ds, fraction=0.2)
+               .to_pandas()["doc_id"])
+    b = sorted(sampling.hash_sample(docs_ds, fraction=0.2)
+               .to_pandas()["doc_id"])
+    assert a == b and len(a) > 0            # same rows every run
+    n = docs_ds.count()
+    assert abs(len(a) / n - 0.2) < 0.1      # near the target fraction
+    # monotone: a smaller fraction is a SUBSET (same bucket rule)
+    small = set(sampling.hash_sample(docs_ds, fraction=0.05)
+                .to_pandas()["doc_id"])
+    assert small <= set(a)
+
+
+def test_split_column_partition_and_stability(docs_ds):
+    from logstash_filter_translate_ray.functions import sampling
+    df = sampling.split_column(docs_ds).to_pandas()
+    n = len(df)
+    counts = df["split"].value_counts()
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts.sum() == n
+    assert counts["train"] > counts.get("val", 0)
+    # membership is per-row stable: recompute on a shuffled subset
+    sub = df.sample(frac=0.5, random_state=0)
+    import ray.data as rd
+    import pyarrow as pa
+    re_split = sampling.split_column(
+        rd.from_arrow(pa.table({"doc_id": sub["doc_id"]}))).to_pandas()
+    merged = sub.merge(re_split, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_weighted_mix_rates(docs_ds):
+    from logstash_filter_translate_ray.functions import sampling
+    mixed = sampling.weighted_mix([(docs_ds, 0.5), (docs_ds, 0.1)])
+    df = mixed.to_pandas()
+    n = docs_ds.count()
+    # 0.1-sample ⊂ 0.5-sample (same rule) ⇒ every 0.1 row appears twice
+    from collections import Counter
+    c = Counter(df["doc_id"])
+    assert abs(len([k for k in c if c[k] >= 1]) / n - 0.5) < 0.1
+    assert abs(len([k for k in c if c[k] == 2]) / n - 0.1) < 0.05
