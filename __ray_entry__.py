@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (48; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (49; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -22,7 +22,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
                simhash_pairs★ embedding_neardup★ embedding_neardup_lsh
                jaccard_pairs★
   sampling:    hash_sample★ split_counts★ weighted_mix★
-  similarity:  ann_topk★ lsh_topk ivf_topk
+  similarity:  ann_topk★ knn_join★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
   multimodal:  multimodal_features★
@@ -604,6 +604,14 @@ def q_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b"]]
 
 
+def q_knn_join(sf_dir: str):
+    """Exact cosine k-NN join (k=3) over the embeddings table — the
+    kNN-graph builder; deterministic (cosine DESC, neighbor id ASC)."""
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_join(ds, k=3)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample (md5-bucket row rule — no RNG, no
     shuffle; the DuckDB mirror is the identical expression)."""
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "incremental_dedup": q_incremental_dedup,
         "hash_sample": q_hash_sample,
+        "knn_join": q_knn_join,
         "split_counts": q_split_counts,
         "weighted_mix": q_weighted_mix,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1001,6 +1010,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
             "AND s.text = d.text)",
+        "knn_join":
+            "SELECT a.vec_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY a.vec_id "
+            "ORDER BY list_cosine_similarity(a.embedding, b.embedding) "
+            "DESC, b.vec_id) AS nn_rank "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+            "QUALIFY nn_rank <= 3",
         "hash_sample":
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",

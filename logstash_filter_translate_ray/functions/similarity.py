@@ -130,6 +130,63 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def knn_join(ds, k: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id", max_blocks: int = 64):
+    """EXACT cosine k-NN join: for every vector, its k nearest OTHER
+    vectors (the kNN-graph builder behind near-dup clustering and
+    diversity sampling). Deterministic order: cosine DESC, neighbor id ASC.
+
+    Shape: one Ray task per row-block; each task streams the other blocks
+    out of the object store (refs — the driver never holds a matrix),
+    scores batch × all with float64 matmuls and keeps a running top-k per
+    row. O(N²) compute is inherent to exactness — at scale use the LSH
+    bucketing (:func:`embedding_neardup_pairs_lsh`) to build the graph
+    approximately. Returns a pandas frame (vec_id, nn_rank, neighbor_id).
+    """
+    import ray
+
+    sub = ds.select_columns([id_col, vec_col])
+    refs = sub.to_arrow_refs()
+    if len(refs) > max_blocks:
+        refs = sub.repartition(max_blocks).to_arrow_refs()
+    import pandas as pd
+    if not refs:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "nn_rank": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64")})
+
+    @ray.remote
+    def block_topk(ta: pa.Table, *others) -> pa.Table:
+        ma = _normalize(_batch_matrix(ta, vec_col).astype(np.float64))
+        ids_a = ta[id_col].to_numpy(zero_copy_only=False)
+        scores = []
+        ids_b_all = []
+        for tb in others:
+            mb = _normalize(_batch_matrix(tb, vec_col).astype(np.float64))
+            ids_b = tb[id_col].to_numpy(zero_copy_only=False)
+            s = ma @ mb.T
+            s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
+            scores.append(s)
+            ids_b_all.append(ids_b)
+        s_full = np.concatenate(scores, axis=1)
+        ids_full = np.concatenate(ids_b_all)
+        rows, ranks, nbrs = [], [], []
+        for r in range(len(ma)):
+            # ties (identical vectors) break to the smaller neighbor id —
+            # the same ORDER BY cosine DESC, id ASC the SQL mirror uses
+            order = np.lexsort((ids_full, -s_full[r]))[:k]
+            rows.extend([ids_a[r]] * len(order))
+            ranks.extend(range(1, len(order) + 1))
+            nbrs.extend(ids_full[order])
+        return pa.table({"vec_id": pa.array(rows, type=pa.int64()),
+                         "nn_rank": pa.array(ranks, type=pa.int64()),
+                         "neighbor_id": pa.array(nbrs, type=pa.int64())})
+
+    futures = [block_topk.remote(refs[i], *refs) for i in range(len(refs))]
+    out = pa.concat_tables(ray.get(futures)).to_pandas()
+    return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+
+
 def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",

@@ -596,3 +596,20 @@ def test_weighted_mix_rates(docs_ds):
     c = Counter(df["doc_id"])
     assert abs(len([k for k in c if c[k] >= 1]) / n - 0.5) < 0.1
     assert abs(len([k for k in c if c[k] == 2]) / n - 0.1) < 0.05
+
+
+def test_knn_join_matches_numpy(emb_ds):
+    """Exact k-NN join == local numpy reference (incl. id-asc tie-break)."""
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+    got = knn_join(emb_ds, k=3)
+    t = emb_ds.to_pandas()
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy())
+    mn = (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float64)
+    s = mn @ mn.T
+    np.fill_diagonal(s, -np.inf)
+    g = got.set_index(["vec_id", "nn_rank"])["neighbor_id"]
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -s[r]))[:3]
+        for rank, nb in enumerate(order, 1):
+            assert g.loc[(ids[r], rank)] == ids[nb]
