@@ -43,6 +43,8 @@ Text-analysis filter kinds (LLM-data curation; each appends columns):
     - winnow: {col: text, k: 5, w: 4}
     - simhash: {col: text}
     - keep: {column: quality_score, op: ">=", value: 0.5}   # row filter
+    - sample: {col: doc_id, fraction: 0.1}  # deterministic hash sample
+    - split: {col: doc_id, fractions: [0.8, 0.1, 0.1]}  # adds 'split'
 
 so a full curation chain (quality → keep → langid → keep → dedup →
 tokens) is expressible as a spec with no Python.
@@ -170,6 +172,12 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
             ds = _TEXT_STAGES[kind](ds, **(opts or {}))
         elif kind == "keep":
             ds = _keep_filter(ds, opts)
+        elif kind == "sample":
+            from ..functions import sampling as _sampling
+            ds = _sampling.hash_sample(ds, **(opts or {}))
+        elif kind == "split":
+            from ..functions import sampling as _sampling
+            ds = _sampling.split_column(ds, **(opts or {}))
         else:
             raise ConfigurationError(f"unknown filter kind {kind!r}")
 

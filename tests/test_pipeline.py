@@ -560,3 +560,16 @@ def test_spec_incremental_dedup_clause(ray_session, sf_dir, tmp_path):
         "dedup": {"kind": "incremental", "seen_path": seen_path},
     }).to_pandas()
     assert out["doc_id"].tolist() == [11]
+
+
+def test_spec_sample_and_split_kinds(ray_session, sf_dir):
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+    base = {"input": {"path": f"{sf_dir}/documents.parquet",
+                      "columns": ["doc_id"]}}
+    n = build_from_spec(base).count()
+    sampled = build_from_spec({**base, "filters": [
+        {"sample": {"col": "doc_id", "fraction": 0.2}}]}).count()
+    assert 0 < sampled < n
+    df = build_from_spec({**base, "filters": [
+        {"split": {"col": "doc_id"}}]}).to_pandas()
+    assert set(df["split"]) <= {"train", "val", "test"} and len(df) == n
