@@ -62,6 +62,7 @@ Optional post-route clauses (applied in this order):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import ray.data as rd
@@ -186,6 +187,13 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
         ds = route_dataset(ds, dict(r["routes"]), key=r.get("key", "role"),
                            default_route=r.get("default", "other"))
 
+    return _apply_post_clauses(ds, s)
+
+
+def _apply_post_clauses(ds, s: dict):
+    """The GLOBAL (cross-shard) clauses: dedup → window → aggregate. Split
+    out so :func:`run_spec_resumable` can run them over the completed
+    shard outputs rather than per shard."""
     if "dedup" in s:
         d = dict(s["dedup"])
         kind = d.pop("kind", "exact")
@@ -250,3 +258,77 @@ def run_spec(spec: "str | dict") -> "Optional[rd.Dataset]":
     else:
         ds.write_parquet(out["path"])
     return None
+
+
+def run_spec_resumable(spec: "str | dict", out_dir: str,
+                       shard_files: int = 4) -> dict:
+    """Checkpointed spec execution (the north_rule resume contract for
+    DECLARATIVE pipelines): the ROW-LOCAL part of the spec (input →
+    filters → route) runs once per input shard with a per-shard manifest
+    and an atomically-renamed output directory, so a crashed run re-runs
+    only unfinished shards; the GLOBAL clauses (dedup / window /
+    aggregate), which need cross-shard visibility, run afterwards over the
+    union of completed shard outputs — semantically identical to a
+    non-sharded run because each is a function of the full filtered row
+    set.
+
+    Returns ``{"shards_run", "shards_skipped", "rows_out", "result"}``
+    where ``result`` is the post-clause Dataset (or None when the spec has
+    no global clause)."""
+    import pyarrow.parquet as _pq
+
+    from ..checkpoint import CheckpointStore, ShardManifest
+    from .transcripts import _shard_inputs
+
+    s = load_spec(spec)
+    inp = s.get("input")
+    if not inp or "path" not in inp:
+        raise ConfigurationError("spec requires input.path")
+    if inp.get("format", "parquet") != "parquet":
+        raise ConfigurationError(
+            "run_spec_resumable shards parquet inputs only")
+    shards = _shard_inputs(inp["path"], shard_files)
+    row_local = {k: s[k] for k in ("filters", "route") if k in s}
+
+    store = CheckpointStore(out_dir)
+    ran = skipped = 0
+    for i, files in enumerate(shards):
+        shard_id = f"{i:05d}"
+        if store.is_done(shard_id):
+            done = store.load(shard_id)
+            if done is not None and done.input_files != list(files):
+                raise RuntimeError(
+                    f"checkpoint mismatch for shard {shard_id}: manifest "
+                    f"covers {done.input_files}, run asked for "
+                    f"{list(files)} — use a fresh out_dir")
+            skipped += 1
+            continue
+        tmp = store.begin_shard(shard_id)
+        ds = build_from_spec({"input": {**inp, "path": list(files)},
+                              **row_local})
+        ds.write_parquet(tmp)
+        rows_out = sum(
+            _pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, fs in os.walk(tmp)
+            for f in fs if f.endswith(".parquet"))
+        rows_in = sum(_pq.read_metadata(f).num_rows for f in files)
+        final = store.finish_shard(shard_id)
+        store.commit(ShardManifest(
+            shard_id=shard_id, input_files=list(files), output_dir=final,
+            rows_in=rows_in, rows_out=rows_out))
+        ran += 1
+
+    manifests = store.load_all()
+    # explicit file list: read_parquet expands a single dir path but not a
+    # LIST of dir paths
+    shard_parquet = [os.path.join(root, f)
+                     for m in manifests
+                     for root, _, fs in os.walk(m.output_dir)
+                     for f in sorted(fs) if f.endswith(".parquet")]
+    result = None
+    if any(k in s for k in ("dedup", "window", "aggregate")) \
+            and shard_parquet:
+        result = _apply_post_clauses(rd.read_parquet(shard_parquet), s)
+    return {"shards_run": ran, "shards_skipped": skipped,
+            "rows_out": sum(m.rows_out for m in manifests),
+            "result": result}

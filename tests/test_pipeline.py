@@ -573,3 +573,57 @@ def test_spec_sample_and_split_kinds(ray_session, sf_dir):
     df = build_from_spec({**base, "filters": [
         {"split": {"col": "doc_id"}}]}).to_pandas()
     assert set(df["split"]) <= {"train", "val", "test"} and len(df) == n
+
+
+def test_run_spec_resumable(ray_session, tmp_path):
+    """Declarative resume: kill-between-shards semantics — a second run
+    skips completed shards; totals equal an uninterrupted run; the global
+    aggregate clause runs over the union of shard outputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.spec import (
+        build_from_spec, run_spec_resumable)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({
+            "doc_id": list(range(i * 100, (i + 1) * 100)),
+            "role": (["user", "assistant"] * 50),
+            "text": [f"doc {j} text" for j in range(i * 100, (i + 1) * 100)],
+        }), str(src / f"part-{i}.parquet"))
+    spec = {
+        "input": {"path": str(src)},
+        "filters": [{"keep": {"column": "doc_id", "op": "<", "value": 350}}],
+        "route": {"key": "role", "routes": {"user": "u", "assistant": "a"}},
+        "aggregate": {"group_by": ["route"], "driver_merge": True},
+    }
+    out = str(tmp_path / "out")
+    r1 = run_spec_resumable(spec, out, shard_files=1)
+    assert r1["shards_run"] == 4 and r1["shards_skipped"] == 0
+    assert r1["rows_out"] == 350
+    res1 = r1["result"]
+    res1 = res1.to_pandas() if hasattr(res1, "to_pandas") else res1
+    agg1 = res1.sort_values("route").reset_index(drop=True)
+    # resume: everything skips, totals unchanged
+    r2 = run_spec_resumable(spec, out, shard_files=1)
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == 4
+    assert r2["rows_out"] == 350
+    res2 = r2["result"]
+    res2 = res2.to_pandas() if hasattr(res2, "to_pandas") else res2
+    agg2 = res2.sort_values("route").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(agg1, agg2)
+    # semantics == the non-sharded run
+    whole = build_from_spec(spec)
+    whole = whole if hasattr(whole, "to_pandas") else whole
+    w = (whole.to_pandas() if hasattr(whole, "to_pandas") else whole) \
+        .sort_values("route").reset_index(drop=True)
+    pd.testing.assert_frame_equal(agg1.astype(str), w.astype(str))
+    # partial failure: delete one manifest + its shard dir → only it re-runs
+    import os
+    import shutil
+    os.remove(os.path.join(out, "_manifests", "00002.json"))
+    shutil.rmtree(os.path.join(out, "shard=00002"))
+    r3 = run_spec_resumable(spec, out, shard_files=1)
+    assert r3["shards_run"] == 1 and r3["shards_skipped"] == 3
+    assert r3["rows_out"] == 350
