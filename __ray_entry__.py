@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (49; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (50; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -15,7 +15,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
   parse:       parse_extract★ (grok multi-capture inside events_pipeline)
   aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
                topk_users★ sort_limit★ distinct_types★ union_counts★
-               zscore_outliers★ vocab_topk★
+               zscore_outliers★ vocab_topk★ quantiles★
   windows:     tumbling_counts★ prev_event_gap★ session_counts★
                event_paths★
   dedup:       dedup_exact★ incremental_dedup★ minhash_pairs★ simhash★
@@ -387,6 +387,15 @@ def q_event_paths(sf_dir: str):
     return event_paths(ds)
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-type p50/p95/p99 over integer cents (combiner histogram
+    partials; quantile rule identical to DuckDB quantile_disc)."""
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds)
+
+
 def q_zscore_outliers(sf_dir: str):
     """Per-type z-score anomaly flag (|z| > 2). Exact int64 cent sums make
     the float math order-independent and SQL-mirrorable."""
@@ -731,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "vocab_topk": q_vocab_topk,
         "zscore_outliers": q_zscore_outliers,
+        "quantiles": q_quantiles,
         "event_paths": q_event_paths,
         "lsh_topk": q_lsh_topk,
         "curation_pipeline": q_curation_pipeline,
@@ -1020,6 +1030,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample":
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",
+        "quantiles":
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_type, quantile_disc(cents, 0.5) AS p50, "
+            "quantile_disc(cents, 0.95) AS p95, "
+            "quantile_disc(cents, 0.99) AS p99 FROM c GROUP BY event_type",
         "split_counts":
             "SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train' "
             "WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val' ELSE 'test' END AS split, "

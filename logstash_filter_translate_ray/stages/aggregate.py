@@ -100,6 +100,48 @@ def _cents(col) -> "pa.Array":
                             round_mode="half_towards_infinity"), pa.int64())
 
 
+def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
+                      qs: "tuple[float, ...]" = (0.5, 0.95, 0.99)):
+    """EXACT per-key discrete quantiles (p50/p95/p99 — the log-latency
+    staple) over integer cents, shuffle-light: each batch pre-aggregates a
+    (key, cents, cnt) HISTOGRAM partial (bounded by the block's distinct
+    value count, not its row count), a native sum merges the partials, and
+    the quantiles come off the merged histogram — no global sort, no
+    whole-column materialization. Quantile rule = the sorted multiset's
+    element at index ceil(q·n)−1, exactly DuckDB ``quantile_disc``.
+    Returns a small pandas frame (key, p50, p95, ... as int cents)."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({key: t[key], "cents": _cents(t[val])})
+        return sub.group_by([key, "cents"]).aggregate([([], "count_all")]) \
+            .rename_columns([key, "cents", "cnt"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby([key, "cents"]).sum("cnt").to_pandas()
+    # merged histogram is Σ-distinct-cents-per-key rows — driver-sized for
+    # bounded value domains (cents); the heavy reduction already happened
+    hist = hist.rename(columns={"sum(cnt)": "cnt"}) \
+        .sort_values([key, "cents"])
+    out_rows = []
+    for k, g in hist.groupby(key, sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        cents_sorted = g["cents"].to_numpy()
+        row = {key: k}
+        for q in qs:
+            target = max(math.ceil(q * n), 1)
+            row[f"p{int(q * 100)}"] = int(
+                cents_sorted[np.searchsorted(cum, target)])
+        out_rows.append(row)
+    import pandas as pd
+    return pd.DataFrame(out_rows)
+
+
 def zscore_outliers(ds, key: str = "event_type", val: str = "value",
                     threshold: float = 2.0, id_col: str = "event_id"):
     """Per-key z-score anomaly flag (two-pass, broadcast stats):

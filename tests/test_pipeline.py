@@ -627,3 +627,26 @@ def test_run_spec_resumable(ray_session, tmp_path):
     r3 = run_spec_resumable(spec, out, shard_files=1)
     assert r3["shards_run"] == 1 and r3["shards_skipped"] == 3
     assert r3["rows_out"] == 350
+
+
+def test_grouped_quantiles_matches_sorted_reference(ray_session, sf_dir):
+    """Histogram-partial quantiles == quantile over the fully sorted
+    per-key arrays (ceil(q·n)−1 discrete rule)."""
+    import math
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        _cents, grouped_quantiles)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    got = grouped_quantiles(ds).set_index("event_type")
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+    cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+    types = t["event_type"].to_numpy(zero_copy_only=False)
+    for k in got.index:
+        vals = np.sort(cents[types == k])
+        for q in (0.5, 0.95, 0.99):
+            want = int(vals[max(math.ceil(q * len(vals)), 1) - 1])
+            assert got.loc[k, f"p{int(q * 100)}"] == want, (k, q)
