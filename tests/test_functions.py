@@ -613,3 +613,34 @@ def test_knn_join_matches_numpy(emb_ds):
         order = np.lexsort((ids, -s[r]))[:3]
         for rank, nb in enumerate(order, 1):
             assert g.loc[(ids[r], rank)] == ids[nb]
+
+
+# ---------------------------------------------------------------------------
+# sketches: HyperLogLog distinct counting
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_merge(ray_session):
+    """Estimate within ~3σ of the true distinct count at several
+    cardinalities; splitting a corpus into partial sketches and merging
+    gives the SAME registers as one pass (associativity)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.sketch import (
+        HyperLogLog, approx_distinct)
+    import pandas as pd_
+    for true_n in (100, 5_000, 100_000):
+        vals = np.asarray([f"v{i}" for i in range(true_n)] * 2,
+                          dtype=object)                 # dups don't count
+        one = HyperLogLog()
+        one.add_hashes(pd_.util.hash_array(vals))
+        est = one.estimate()
+        sigma = 1.04 / np.sqrt(one.m)
+        assert abs(est - true_n) / true_n < 3 * sigma + 0.01, (true_n, est)
+        # merge of halves == single pass (register-exact)
+        a, b = HyperLogLog(), HyperLogLog()
+        a.add_hashes(pd_.util.hash_array(vals[: len(vals) // 2]))
+        b.add_hashes(pd_.util.hash_array(vals[len(vals) // 2:]))
+        assert np.array_equal(a.merge(b).registers, one.registers)
+    # dataset wrapper over real blocks
+    tbl = pa.table({"k": [f"u{i % 3000}" for i in range(10_000)]})
+    est = approx_distinct(rd.from_arrow(tbl).repartition(8), "k")
+    assert abs(est - 3000) / 3000 < 0.06
