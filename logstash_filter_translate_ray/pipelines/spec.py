@@ -57,7 +57,9 @@ Optional post-route clauses (applied in this order):
                # are dropped (exact content-hash anti-join)
     window:    {kind: tumbling | gap | sessions | paths, ...kwargs}
     aggregate: {group_by: [route, tool_label], count_name: n,
-                driver_merge: false}
+                driver_merge: false}            # kind: counts (default)
+    aggregate: {kind: quantiles, key: event_type, val: value,
+                qs: [0.5, 0.95, 0.99]}          # exact p50/p95/p99
 """
 
 from __future__ import annotations
@@ -230,13 +232,24 @@ def _apply_post_clauses(ds, s: dict):
 
     if "aggregate" in s:
         a = dict(s["aggregate"])
-        keys = a.pop("group_by", None)
-        if not keys:
-            raise ConfigurationError("aggregate requires group_by")
-        from ..stages.aggregate import grouped_counts
-        res = grouped_counts(ds, list(keys),
-                             count_name=a.pop("count_name", "n"),
-                             driver_merge=a.pop("driver_merge", False))
+        kind = a.pop("kind", "counts")
+        if kind == "counts":
+            keys = a.pop("group_by", None)
+            if not keys:
+                raise ConfigurationError("aggregate requires group_by")
+            from ..stages.aggregate import grouped_counts
+            res = grouped_counts(ds, list(keys),
+                                 count_name=a.pop("count_name", "n"),
+                                 driver_merge=a.pop("driver_merge", False))
+        elif kind == "quantiles":
+            from ..stages.aggregate import grouped_quantiles
+            res = grouped_quantiles(
+                ds, key=a.pop("key", "event_type"),
+                val=a.pop("val", "value"),
+                qs=tuple(a.pop("qs", (0.5, 0.95, 0.99))))
+        else:
+            raise ConfigurationError(
+                f"aggregate.kind must be counts|quantiles, got {kind!r}")
         ds = rd.from_pandas(res) if not hasattr(res, "map_batches") else res
     return ds
 

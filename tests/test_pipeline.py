@@ -650,3 +650,22 @@ def test_grouped_quantiles_matches_sorted_reference(ray_session, sf_dir):
         for q in (0.5, 0.95, 0.99):
             want = int(vals[max(math.ceil(q * len(vals)), 1) - 1])
             assert got.loc[k, f"p{int(q * 100)}"] == want, (k, q)
+
+
+def test_spec_quantiles_aggregate_and_example_yaml(ray_session, tmp_path):
+    from logstash_filter_translate_ray.pipelines.spec import (
+        build_from_spec, load_spec, run_spec)
+    res = build_from_spec({
+        "input": {"path": "/root/testdata/sf0.001/events.parquet",
+                  "columns": ["event_type", "value"]},
+        "aggregate": {"kind": "quantiles", "key": "event_type",
+                      "val": "value", "qs": [0.5, 0.9]},
+    }).to_pandas()
+    assert {"event_type", "p50", "p90"} <= set(res.columns)
+    # the shipped example spec parses and runs end-to-end
+    spec = load_spec("/root/repo/docs/examples/curation.yaml")
+    spec["output"]["path"] = str(tmp_path / "curated")
+    assert run_spec(spec) is None
+    import os
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(str(tmp_path / "curated")))
