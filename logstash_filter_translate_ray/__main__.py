@@ -4,7 +4,8 @@ idempotently under ray job submit on fixed-size clusters"):
     ray job submit -- python -m logstash_filter_translate_ray \
         run --input /data/transcripts --out /data/routed [--shard-files 4]
 
-    python -m logstash_filter_translate_ray spec --spec pipeline.yaml
+    python -m logstash_filter_translate_ray spec --spec pipeline.yaml \
+        [--out /data/curated --shard-files 4]      # checkpointed + resumable
 
 ``run`` executes the flagship parse → enrich → route → aggregate DAG through
 the checkpoint store: re-submitting the SAME command after a failure skips
@@ -33,6 +34,10 @@ def main(argv=None) -> int:
                    help="input files per resumable shard")
     s = sub.add_parser("spec", help="run a declarative YAML/JSON pipeline")
     s.add_argument("--spec", required=True)
+    s.add_argument("--out", default=None,
+                   help="checkpointed output dir: run RESUMABLY with "
+                        "per-shard manifests (run_spec_resumable)")
+    s.add_argument("--shard-files", type=int, default=4)
     args = p.parse_args(argv)
 
     import ray
@@ -44,6 +49,12 @@ def main(argv=None) -> int:
             from .pipelines import run_resumable
             res = run_resumable(args.input, args.out,
                                 shard_files=args.shard_files)
+            print(json.dumps(res, default=str))
+        elif args.out:
+            from .pipelines.spec import run_spec_resumable
+            res = run_spec_resumable(args.spec, args.out,
+                                     shard_files=args.shard_files)
+            res.pop("result", None)      # Datasets don't JSON-serialize
             print(json.dumps(res, default=str))
         else:
             from .pipelines.spec import run_spec

@@ -669,3 +669,27 @@ def test_spec_quantiles_aggregate_and_example_yaml(ray_session, tmp_path):
     import os
     assert any(f.endswith(".parquet")
                for f in os.listdir(str(tmp_path / "curated")))
+
+
+def test_cli_spec_resumable(ray_session, tmp_path, capsys):
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.__main__ import main
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(pa.table({"doc_id": [i * 10, i * 10 + 1],
+                                 "text": ["a b", "c d"]}),
+                       str(src / f"p{i}.parquet"))
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"input": {"path": str(src)}}))
+    out = str(tmp_path / "out")
+    assert main(["spec", "--spec", str(spec), "--out", out,
+                 "--shard-files", "1"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["shards_run"] == 2 and r1["rows_out"] == 4
+    assert main(["spec", "--spec", str(spec), "--out", out,
+                 "--shard-files", "1"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == 2
