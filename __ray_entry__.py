@@ -52,9 +52,22 @@ EVENT_ROUTES = {"click": "engagement", "view": "engagement",
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned read with a SIZE-AWARE block count: Ray's default
+    splits these small sf tables into ~64 tiny blocks and every downstream
+    stage then pays fixed per-block cost (measured at sf0.1: vocab_topk
+    2.1 s → 0.4-0.6 s, dedup_ids 1.2 s → 0.6-0.7 s at ~8 blocks;
+    translate_exact 0.9 s → 0.3 s). Blocks scale with the footer row
+    count — ≥25k rows per block, floor 8 for map parallelism, cap 64
+    (the default) so big tables are unchanged."""
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        rows = pq.read_metadata(path).num_rows
+        nb = min(64, max(8, rows // 25_000))
+    except Exception:
+        nb = None
+    kw = {"override_num_blocks": nb} if nb else {}
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _transcripts_dir(sf_dir: str) -> str:
