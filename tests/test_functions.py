@@ -144,8 +144,11 @@ def test_multimodal_resize_stage(ray_session):
 
 
 def test_multimodal_real_codecs_gated():
+    """The gate is now per-PAYLOAD: uncompressed formats decode for real,
+    compressed codec payloads still raise clearly."""
+    stage = multimodal.DecodeFeatureStage(use_real_codecs=True)
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeFeatureStage(use_real_codecs=True)
+        stage._real_features(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
 def test_embedding_neardup_matches_bruteforce(emb_ds):
@@ -644,3 +647,64 @@ def test_hll_accuracy_and_merge(ray_session):
     tbl = pa.table({"k": [f"u{i % 3000}" for i in range(10_000)]})
     est = approx_distinct(rd.from_arrow(tbl).repartition(8), "k")
     assert abs(est - 3000) / 3000 < 0.06
+
+
+# ---------------------------------------------------------------------------
+# real pure-numpy codecs (uncompressed formats)
+# ---------------------------------------------------------------------------
+
+def test_ppm_bmp_wav_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 7, 3)).astype(np.uint8)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(img)),
+                          img)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)),
+                          img)
+    samples = (rng.randn(1234) * 3000).astype(np.int16)
+    out, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(out, samples)
+    # comment + multi-space PPM headers parse too
+    hdr = b"P6\n# a comment\n7  13\n255\n" + img.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(hdr), img)
+
+
+def test_real_decode_and_resize_through_ray(ray_session):
+    """Actor-pool decode + REAL pixel resize over mixed-format payloads."""
+    import ray.data as rd
+    rng = np.random.RandomState(5)
+    img_big = rng.randint(0, 256, (64, 48, 3)).astype(np.uint8)
+    img_small = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    wav = (rng.randn(16000) * 8000).astype(np.int16)
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([multimodal.encode_ppm(img_big),
+                             multimodal.encode_bmp(img_small),
+                             multimodal.encode_wav(wav, 16000)],
+                            type=pa.binary()),
+        "media_type": pa.array(["image", "image", "audio"]),
+        "width": pa.array([48, 8, None], type=pa.int32()),
+        "height": pa.array([64, 8, None], type=pa.int32()),
+        "sample_rate": pa.array([None, None, 16000], type=pa.int32()),
+    })
+    ds = rd.from_arrow(tbl)
+    feats = multimodal.decode_features_dataset(
+        ds, concurrency=1, use_real_codecs=True).to_pandas() \
+        .set_index("media_id")
+    # image features: channel means in [0,1]; audio: duration == 1.0 s
+    f1 = feats.loc[1, "features"]
+    assert 0.3 < f1[0] < 0.7 and abs(f1[0] - img_big[..., 0].mean() / 255) < 1e-3
+    f3 = feats.loc[3, "features"]
+    assert abs(f3[2] - 1.0) < 1e-6              # 16000 samples @ 16 kHz
+    resized = multimodal.resize_dataset(
+        ds, max_side=32, concurrency=1, use_real_codecs=True).to_pandas() \
+        .set_index("media_id")
+    out_img = multimodal.decode_ppm(resized.loc[1, "payload"])
+    assert out_img.shape == (32, 24, 3)         # 64x48 → fit 32
+    assert (resized.loc[1, "resized_width"],
+            resized.loc[1, "resized_height"]) == (24, 32)
+    # nearest-neighbor: every output pixel exists in the source
+    assert np.array_equal(out_img[0, 0],
+                          img_big[0, 0])        # corner maps to corner
+    small_out = multimodal.decode_bmp(resized.loc[2, "payload"])
+    assert small_out.shape == (8, 8, 3)         # under max_side: unchanged
+    assert bytes(resized.loc[3, "payload"])[:4] == b"RIFF"  # passthrough
