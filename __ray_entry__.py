@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (50; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (51; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -25,7 +25,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
   similarity:  ann_topk★ knn_join★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
                fingerprint★ winnow★
-  multimodal:  multimodal_features★
+  multimodal:  multimodal_features★ multimodal_real_decode★
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -634,6 +634,44 @@ def q_knn_join(sf_dir: str):
     return knn_join(ds, k=3)
 
 
+def q_multimodal_real_decode(sf_dir: str):
+    """REAL image decode through the actor pool: deterministic P6 PPM
+    payloads (dims derived from doc_id) → ResizeStage(use_real_codecs)
+    decodes the actual bytes, resizes the pixels and re-encodes. The
+    output dims come from the PPM HEADER, not the metadata columns, so the
+    SQL mirror (same dims arithmetic in double math) verifies the parse
+    end-to-end."""
+    import pyarrow.compute as pc
+    from logstash_filter_translate_ray.functions.multimodal import (
+        ResizeStage, encode_ppm)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w = int(i) % 48 + 8
+            h = (int(i) * 7) % 48 + 8
+            # deterministic pixels (content is not part of the oracle)
+            img = (np.arange(h * w * 3, dtype=np.int64) * (int(i) + 1)
+                   % 256).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(encode_ppm(img))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary()),
+                         "media_type": pa.array(["image"] * len(t)),
+                         "width": pa.array(np.zeros(len(t), np.int32)),
+                         "height": pa.array(np.zeros(len(t), np.int32)),
+                         "sample_rate": pa.nulls(len(t), pa.int32())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+    out = media.map_batches(
+        ResizeStage, fn_constructor_kwargs=dict(max_side=16,
+                                                use_real_codecs=True),
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+    return out.select_columns(["media_id", "resized_width",
+                               "resized_height"])
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample (md5-bucket row rule — no RNG, no
     shuffle; the DuckDB mirror is the identical expression)."""
@@ -760,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "incremental_dedup": q_incremental_dedup,
         "hash_sample": q_hash_sample,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "knn_join": q_knn_join,
         "split_counts": q_split_counts,
         "weighted_mix": q_weighted_mix,
@@ -1040,6 +1079,19 @@ def oracle_sql() -> dict[str, str]:
             "DESC, b.vec_id) AS nn_rank "
             "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
             "QUALIFY nn_rank <= 3",
+        "multimodal_real_decode":
+            # same dims arithmetic as ResizeStage on the decoded header
+            # (double math both sides): w = id%48+8, h = (id*7)%48+8,
+            # sc = min(1, 16/max(w,h)), out = max(1, trunc(dim*sc))
+            "WITH d AS (SELECT doc_id AS media_id, "
+            "doc_id % 48 + 8 AS w, (doc_id * 7) % 48 + 8 AS h "
+            "FROM documents), "
+            "s AS (SELECT media_id, w, h, "
+            "least(1.0, 16.0 / greatest(w, h)) AS sc FROM d) "
+            "SELECT media_id, "
+            "greatest(1, CAST(trunc(w * sc) AS INT)) AS resized_width, "
+            "greatest(1, CAST(trunc(h * sc) AS INT)) AS resized_height "
+            "FROM s",
         "hash_sample":
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",
