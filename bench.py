@@ -132,7 +132,8 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "session_counts", "events_pipeline",
                  "prev_event_gap", "event_paths", "zscore_outliers",
                  "vocab_topk", "winnow", "quality_scores",
-                 "curation_pipeline"]:
+                 "curation_pipeline", "incremental_dedup", "quantiles",
+                 "knn_join", "hash_sample", "multimodal_real_decode"]:
         fn = em.queries()[name]
         best = None
         for _ in range(2):
