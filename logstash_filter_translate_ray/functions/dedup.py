@@ -223,6 +223,10 @@ def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
 # content already exists in a SEEN dataset
 # ---------------------------------------------------------------------------
 
+_BROADCAST_MAX_SEEN = 2_000_000   # distinct seen hashes (~32 MB) below
+# which the semi-join broadcasts instead of shuffle-joining
+
+
 def incremental_dedup(ds_new, ds_seen, col: str = "text",
                       id_col: str = "doc_id", num_partitions: int = 4):
     """EXACT cross-dataset dedup — the shape of incremental corpus ingest:
@@ -263,8 +267,46 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
             "_seen": pa.array([True] * len(t))}),
             batch_format="pyarrow", batch_size=None) \
         .repartition(num_partitions).materialize()
-    if flagged.count() == 0:
+    n_seen = flagged.count()
+    if n_seen == 0:
         return ds_new
+    if n_seen <= _BROADCAST_MAX_SEEN:
+        # broadcast semi-join: the distinct seen-hash set rides the object
+        # store once (16 bytes/hash, sorted by (h1, h2)) and each batch
+        # probes EXACT 128-bit membership with two searchsorted passes —
+        # no shuffle join, no per-query join-actor startup. Measured at
+        # sf0.1: 3.7 s (join) → sub-second.
+        import ray as _ray
+
+        def _pair_cols(t: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+            return (t["content_hash"].to_numpy(zero_copy_only=False),
+                    t["content_hash2"].to_numpy(zero_copy_only=False))
+
+        parts = [_pair_cols(b) for b in
+                 flagged.iter_batches(batch_format="pyarrow")]
+        s1 = np.concatenate([p[0] for p in parts] or
+                            [np.empty(0, np.int64)])
+        s2 = np.concatenate([p[1] for p in parts] or
+                            [np.empty(0, np.int64)])
+        order = np.lexsort((s2, s1))
+        ref = _ray.put((s1[order], s2[order]))
+
+        def keep(t: pa.Table) -> pa.Table:
+            s1s, s2s = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) \
+                else ref
+            t2 = _hash_i64(t, keep_all=True)
+            a, b = _pair_cols(t2)
+            lo = np.searchsorted(s1s, a, side="left")
+            hi = np.searchsorted(s1s, a, side="right")
+            hit = np.zeros(len(a), dtype=bool)
+            one = hi - lo == 1                    # the common case
+            hit[one] = s2s[np.minimum(lo[one], len(s2s) - 1)] == b[one]
+            for i in np.nonzero(hi - lo > 1)[0]:  # h1-collision runs: rare
+                hit[i] = b[i] in s2s[lo[i]:hi[i]]
+            return t.filter(pa.array(~hit))
+
+        return ds_new.map_batches(keep, batch_format="pyarrow",
+                                  batch_size=None)
     new_h = ds_new.map_batches(
         lambda t: _hash_i64(t, keep_all=True),
         batch_format="pyarrow", batch_size=None) \

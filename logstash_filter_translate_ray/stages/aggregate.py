@@ -120,12 +120,15 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
         return sub.group_by([key, "cents"]).aggregate([([], "count_all")]) \
             .rename_columns([key, "cents", "cnt"])
 
-    hist = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=None) \
-        .groupby([key, "cents"]).sum("cnt").to_pandas()
-    # merged histogram is Σ-distinct-cents-per-key rows — driver-sized for
-    # bounded value domains (cents); the heavy reduction already happened
-    hist = hist.rename(columns={"sum(cnt)": "cnt"}) \
+    # partials are Σ-distinct-cents-per-block rows — the heavy reduction
+    # happens inside map_batches; the driver merge is a pandas groupby over
+    # that bounded histogram (measured: the Ray two-key sort-shuffle merge
+    # cost seconds of fixed orchestration for 28 ms of actual merge work).
+    # Swap for .groupby([key,"cents"]).sum("cnt") if the cents domain ever
+    # outgrows the driver (bounded-domain integers: it doesn't).
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    hist = parts.groupby([key, "cents"], as_index=False)["cnt"].sum() \
         .sort_values([key, "cents"])
     out_rows = []
     for k, g in hist.groupby(key, sort=True):

@@ -708,3 +708,23 @@ def test_real_decode_and_resize_through_ray(ray_session):
     small_out = multimodal.decode_bmp(resized.loc[2, "payload"])
     assert small_out.shape == (8, 8, 3)         # under max_side: unchanged
     assert bytes(resized.loc[3, "payload"])[:4] == b"RIFF"  # passthrough
+
+
+def test_incremental_dedup_join_path_matches_broadcast(ray_session):
+    """The shuffle-join path (big seen sets) keeps the same survivors as
+    the broadcast semi-join path."""
+    import ray.data as rd
+    seen = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                   "text": ["alpha", "beta"]}))
+    new = rd.from_arrow(pa.table({"doc_id": [10, 11, 12, 13],
+                                  "text": ["alpha", "gamma", "beta",
+                                           "delta"]}))
+    a = sorted(dedup.incremental_dedup(new, seen).to_pandas()["doc_id"])
+    old = dedup._BROADCAST_MAX_SEEN
+    dedup._BROADCAST_MAX_SEEN = 0            # force the join path
+    try:
+        b = sorted(dedup.incremental_dedup(new, seen)
+                   .to_pandas()["doc_id"])
+    finally:
+        dedup._BROADCAST_MAX_SEEN = old
+    assert a == b == [11, 13]
