@@ -59,15 +59,28 @@ def _kgram_mult(k: int) -> np.ndarray:
     return np.concatenate([_KGRAM_MULT, z | np.uint64(1)])
 
 
-def _hash_words_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
+def _hash_words_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """All words of all docs hashed deterministically (fixed-key siphash —
     stable across processes/nodes), tokenized in C: Arrow
     ``utf8_split_whitespace`` (empties filtered for str.split parity) +
     ``dictionary_encode`` so only the VOCABULARY is hashed and token
     hashes come from a gather (4–5× over per-token Python hashing).
+    ``texts`` may be a Python list OR an Arrow array/chunked column.
+    MEASURED (500k docs, in-process A/B): passing the PLASMA-BACKED
+    column zero-copy is ~30% SLOWER than a process-local rebuild (15.2 s
+    vs 11.6 s warm) — the heavy split/encode kernels page-fault through
+    the shared-memory mapping; a pylist round-trip and a C-level copy
+    (binary_join_element_wise) both land at local-heap speed, so callers
+    pass ``to_pylist()`` output. The array path remains for
+    process-local arrays.
     Returns (word_hashes uint64, word_ptr int64[n+1])."""
-    n = len(texts)
-    arr = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    n = len(arr)
     lists = pc.utf8_split_whitespace(arr)
     lens = pc.fill_null(pc.list_value_length(lists), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
