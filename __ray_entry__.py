@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (51; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (52; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -24,6 +24,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
   sampling:    hash_sample★ split_counts★ weighted_mix★
   similarity:  ann_topk★ knn_join★ lsh_topk ivf_topk
   text:        token_count★ text_stats★ quality_scores★ langid★
+               repetition_scores★
                fingerprint★ winnow★
   multimodal:  multimodal_features★ multimodal_real_decode★
 
@@ -672,6 +673,15 @@ def q_multimodal_real_decode(sf_dir: str):
                                "resized_height"])
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signals (dup-word / dup-line fractions)."""
+    from logstash_filter_translate_ray.functions.text import (
+        repetition_dataset)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_dataset(ds).select_columns(
+        ["doc_id", "dup_word_frac", "dup_line_frac"])
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample (md5-bucket row rule — no RNG, no
     shuffle; the DuckDB mirror is the identical expression)."""
@@ -798,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "incremental_dedup": q_incremental_dedup,
         "hash_sample": q_hash_sample,
+        "repetition_scores": q_repetition_scores,
         "multimodal_real_decode": q_multimodal_real_decode,
         "knn_join": q_knn_join,
         "split_counts": q_split_counts,
@@ -1092,6 +1103,15 @@ def oracle_sql() -> dict[str, str]:
             "greatest(1, CAST(trunc(w * sc) AS INT)) AS resized_width, "
             "greatest(1, CAST(trunc(h * sc) AS INT)) AS resized_height "
             "FROM s",
+        "repetition_scores":
+            "WITH s AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS w, "
+            "string_split(text, chr(10)) AS l FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / "
+            "greatest(len(w), 1) AS dup_word_frac, "
+            "CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / "
+            "greatest(len(l), 1) AS dup_line_frac FROM s",
         "hash_sample":
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",

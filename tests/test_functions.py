@@ -728,3 +728,13 @@ def test_incremental_dedup_join_path_matches_broadcast(ray_session):
     finally:
         dedup._BROADCAST_MAX_SEEN = old
     assert a == b == [11, 13]
+
+
+def test_repetition_scores():
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a a a b",               # 2/4 words duplicated
+                           "x\ny\nx\nx",            # 2/4 lines duplicated
+                           "all distinct words"]})
+    out = text.repetition_batch(t)
+    assert out["dup_word_frac"].to_pylist() == [0.5, 0.5, 0.0]
+    assert out["dup_line_frac"].to_pylist() == [0.0, 0.5, 0.0]
