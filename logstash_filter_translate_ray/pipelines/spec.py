@@ -37,6 +37,7 @@ iterate_on, refresh_*, yaml_* — validation errors match the plugin's).
 Text-analysis filter kinds (LLM-data curation; each appends columns):
 
     - quality: {col: text}          # punct/stop ratios + quality_score
+    - repetition: {col: text}       # dup_word_frac, dup_line_frac
     - langid: {col: text}           # lang_pred
     - tokens: {col: text}           # n_tokens_ws, n_tokens_bpe
     - fingerprint: {col: text}      # 64-bit content fingerprint
@@ -93,6 +94,7 @@ def _text_stage(name: str):
         from ..functions import dedup as _dd
         from ..functions import text as _tx
         fns = {"quality": _tx.quality_dataset,
+               "repetition": _tx.repetition_dataset,
                "langid": _tx.langid_dataset,
                "tokens": _tx.token_count_dataset,
                "fingerprint": _tx.fingerprint_dataset,
@@ -103,8 +105,8 @@ def _text_stage(name: str):
 
 
 _TEXT_STAGES = {k: _text_stage(k) for k in
-                ("quality", "langid", "tokens", "fingerprint", "winnow",
-                 "simhash")}
+                ("quality", "repetition", "langid", "tokens", "fingerprint",
+                 "winnow", "simhash")}
 
 _KEEP_OPS = {">=", ">", "<=", "<", "==", "!=", "in"}
 
