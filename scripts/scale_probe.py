@@ -14,6 +14,9 @@ and checks the planted duplicates are found. Prints one JSON line; the
 numbers land in BASELINE.md as would-it-hold-at-scale evidence.
 
 Usage: python scripts/scale_probe.py [N_DOCS] [--distributed-cc]
+       python scripts/scale_probe.py [N_VECS] --embeddings
+         (LSH embedding near-dup + IVF top-k at N_VECS ≫ the sf tables,
+          with planted near-duplicate vectors)
 """
 
 from __future__ import annotations
@@ -80,6 +83,83 @@ def synth_corpus(path: str) -> tuple[int, int]:
     return n_exact, n_near
 
 
+def synth_embeddings(path: str, n: int, dim: int = 64,
+                     dup_frac: float = 0.05) -> int:
+    """Unit-norm random vectors with planted near-duplicates (copy of an
+    earlier vector + tiny noise ⇒ cosine ≈ 0.999). Returns planted count."""
+    if os.path.isdir(path) and os.listdir(path):
+        return json.load(open(os.path.join(
+            path, "..", f"emb_meta_{n}.json")))["n_dups"]
+    rng = np.random.RandomState(SEED)
+    m = rng.randn(n, dim).astype(np.float32)
+    n_dups = int(n * dup_frac)
+    src = rng.randint(0, n - n_dups, size=n_dups)
+    m[n - n_dups:] = m[src] + rng.randn(n_dups, dim).astype(np.float32) * 0.01
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (n + N_FILES - 1) // N_FILES
+    offs = np.arange(0, (per + 1) * dim, dim, dtype=np.int32)
+    for f in range(N_FILES):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        chunk = m[lo:hi]
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs[: hi - lo + 1]), pa.array(chunk.reshape(-1)))
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(lo, hi), type=pa.int64()),
+            "embedding": lists}),
+            os.path.join(path, f"part-{f:03d}.parquet"))
+    json.dump({"n_dups": n_dups},
+              open(os.path.join(path, "..", f"emb_meta_{n}.json"), "w"))
+    return n_dups
+
+
+def main_embeddings(n_vecs: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from logstash_filter_translate_ray.functions.similarity import (
+        embedding_neardup_pairs_lsh, ivf_topk)
+
+    root = "/tmp/lftr_scale_probe"
+    corpus = os.path.join(root, f"embs_{n_vecs}")
+    n_dups = synth_embeddings(corpus, n_vecs)
+    read = lambda: rd.read_parquet(corpus)
+    read().materialize()                        # warm
+
+    t0 = time.perf_counter()
+    pairs = embedding_neardup_pairs_lsh(read(), threshold=0.98,
+                                        planes_per_table=8, n_tables=12)
+    t_lsh = time.perf_counter() - t0
+    # every planted dup (cosine ≈ 0.999) should surface; random 64-dim
+    # pairs essentially never clear 0.98. Recall = distinct planted ids
+    # that appear in at least one found pair.
+    found_dups = int(pairs.loc[pairs["id_b"] >= n_vecs - n_dups, "id_b"]
+                     .nunique())
+
+    q = np.asarray(pq.read_table(corpus)["embedding"].to_pylist()[0],
+                   dtype=np.float64)
+    t0 = time.perf_counter()
+    top = ivf_topk(read(), q, k=10, n_cells=64, n_probe=8,
+                   cache_key=corpus)
+    t_ivf = time.perf_counter() - t0
+    print(json.dumps({
+        "n_vecs": n_vecs, "planted_dups": n_dups,
+        "lsh_neardup_sec": round(t_lsh, 2),
+        "lsh_pairs": int(len(pairs)), "planted_found": found_dups,
+        "recall_planted": round(found_dups / max(n_dups, 1), 4),
+        "ivf_topk_sec": round(t_ivf, 2), "ivf_rows": int(len(top)),
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}))
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
     if not ray.is_initialized():
@@ -132,4 +212,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--embeddings" in sys.argv:
+        main_embeddings(N_DOCS)
+    else:
+        main()
