@@ -3,7 +3,8 @@ scoring, token counting, document fingerprinting.
 
 All stages are stateless ``map_batches`` transforms over zero-copy Arrow
 with RE2 kernels (``pc.count_substring_regex``) — no Python in the per-row
-path except the fingerprint's C-speed crc32 loop.
+path except the fingerprint's C-speed md5 loop (measured: not the
+bottleneck; see fingerprint_batch).
 """
 
 from __future__ import annotations
