@@ -281,8 +281,10 @@ class ResizeStage:
                     rw[i], rh[i] = ow, oh
                 else:
                     new_payloads.append(p)        # audio/video: passthrough
-                    rw[i] = 0 if np.isnan(w[i]) else int(w[i] * scale[i])
-                    rh[i] = 0 if np.isnan(h[i]) else int(h[i] * scale[i])
+                    # scale is NaN whenever EITHER dim is null
+                    bad = np.isnan(w[i]) or np.isnan(h[i])
+                    rw[i] = 0 if bad else int(w[i] * scale[i])
+                    rh[i] = 0 if bad else int(h[i] * scale[i])
             idx = tbl.column_names.index("payload")
             tbl = tbl.set_column(idx, "payload",
                                  pa.array(new_payloads, type=pa.binary()))

@@ -104,9 +104,11 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     """
     import ray
 
-    sub = ds.select_columns([id_col, vec_col])
+    sub = ds.select_columns([id_col, vec_col]).materialize()
     refs = sub.to_arrow_refs()
     if len(refs) > max_blocks:           # bound the quadratic task count
+        # repartition the MATERIALIZED handle: repartitioning the lazy
+        # dataset would re-execute the whole read/select a second time
         refs = sub.repartition(max_blocks).to_arrow_refs()
     if not refs:
         import pandas as pd
@@ -145,9 +147,10 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
     """
     import ray
 
-    sub = ds.select_columns([id_col, vec_col])
+    sub = ds.select_columns([id_col, vec_col]).materialize()
     refs = sub.to_arrow_refs()
     if len(refs) > max_blocks:
+        # repartition the MATERIALIZED handle (see embedding_neardup_pairs)
         refs = sub.repartition(max_blocks).to_arrow_refs()
     import pandas as pd
     if not refs:

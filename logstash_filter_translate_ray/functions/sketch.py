@@ -6,7 +6,8 @@ siphash, ranks via exact float64 log2 on the 52-bit suffix), merged by an
 element-wise max (associative + commutative ⇒ retry/ordering-safe), and
 estimated once on the driver. The sketch is ``2^p`` bytes total no matter
 how many rows it summarizes; standard error ≈ 1.04/√(2^p) (~1.6% at the
-default p=12).
+default p=12). Ranks come from exact integer-width floor(log2) — see
+``add_hashes``.
 
 An EXACT distinct count at scale is the ``exact_dedup_ids`` groupby shape;
 this sketch answers the same question with zero shuffle.
@@ -25,14 +26,13 @@ _DEFAULT_P = 12
 class HyperLogLog:
     """Classic HLL (Flajolet et al.) over 64-bit hashes, p index bits.
 
-    p ≤ 12 keeps the rank suffix at 64−p ≥ 52 bits — exactly float64's
-    mantissa, so the vectorized ``log2`` rank is EXACT (no per-item bit
-    loop)."""
+    Rank extraction is EXACT for any p: the suffix splits into 32-bit
+    halves (each float64-exact) before the frexp exponent is read."""
 
     def __init__(self, p: int = _DEFAULT_P,
                  registers: "np.ndarray | None" = None):
-        if not 4 <= p <= 12:
-            raise ValueError("p must be in [4, 12] (rank fits float64)")
+        if not 4 <= p <= 16:
+            raise ValueError("p must be in [4, 16]")
         self.p = p
         self.m = 1 << p
         self.registers = registers if registers is not None \
@@ -45,11 +45,20 @@ class HyperLogLog:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h & np.uint64((1 << (64 - self.p)) - 1)
         # rank = leading zeros of the (64-p)-bit suffix + 1
-        #      = (64-p) - floor(log2(w)) for w > 0; w == 0 → (64-p) + 1
+        #      = (64-p) - floor(log2(w)) for w > 0; w == 0 → (64-p) + 1.
+        # floor(log2) must be EXACT: np.log2 + floor rounds UP a few ulps
+        # below powers of two (floor(log2(2^52-1)) would come out 52), and
+        # even frexp is only exact below 2^53. Split into 32-bit halves —
+        # each converts to float64 exactly — and take frexp exponents.
         rho = np.empty(len(h), dtype=np.uint8)
         nz = w > 0
-        rho[nz] = (64 - self.p) - np.floor(
-            np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        wn = w[nz]
+        hi = (wn >> np.uint64(32)).astype(np.float64)
+        lo = (wn & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        _, ehi = np.frexp(hi)
+        _, elo = np.frexp(lo)
+        flog2 = np.where(hi > 0, 32 + ehi - 1, elo - 1)
+        rho[nz] = (64 - self.p) - flog2
         rho[~nz] = (64 - self.p) + 1
         np.maximum.at(self.registers, idx, rho)
 

@@ -118,6 +118,12 @@ def _keep_filter(ds, opts: dict):
     if not col or op not in _KEEP_OPS:
         raise ConfigurationError(
             f"keep requires column + op in {sorted(_KEEP_OPS)}, got {opts}")
+    if val is None:
+        # a missing value would compare everything against null and
+        # silently drop every row — fail validation like other clauses
+        raise ConfigurationError(f"keep requires a non-null value: {opts}")
+    if op == "in" and not hasattr(val, "__iter__"):
+        raise ConfigurationError(f"keep op 'in' needs a list value: {opts}")
 
     def fn(t):
         import pyarrow as pa
@@ -333,7 +339,20 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
             rows_in=rows_in, rows_out=rows_out))
         ran += 1
 
-    manifests = store.load_all()
+    # Only THIS run's shard ids count: a previous larger run at the same
+    # out_dir leaves extra manifests whose inputs are no longer part of the
+    # spec — silently unioning them would feed deleted data into the
+    # global clauses, so that is a hard error (same rule as the per-shard
+    # input mismatch above).
+    want_ids = {f"{i:05d}" for i in range(len(shards))}
+    manifests = [m for m in store.load_all() if m.shard_id in want_ids]
+    extra = sorted(m.shard_id for m in store.load_all()
+                   if m.shard_id not in want_ids)
+    if extra:
+        raise RuntimeError(
+            f"out_dir has manifests {extra} beyond this run's "
+            f"{len(shards)} shards — the input shrank since the previous "
+            "run; use a fresh out_dir")
     # explicit file list: read_parquet expands a single dir path but not a
     # LIST of dir paths
     shard_parquet = [os.path.join(root, f)
@@ -344,6 +363,19 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
     if any(k in s for k in ("dedup", "window", "aggregate")) \
             and shard_parquet:
         result = _apply_post_clauses(rd.read_parquet(shard_parquet), s)
+    out_info = {}
+    if s.get("output", {}).get("path"):
+        # the spec's own sink: write the POST-CLAUSE result (or the routed
+        # union when there are no global clauses) — a derived artifact of
+        # the checkpointed shard outputs, recomputed cheaply on resume
+        final_ds = result if result is not None else (
+            rd.read_parquet(shard_parquet) if shard_parquet else None)
+        if final_ds is not None:
+            if not hasattr(final_ds, "write_parquet"):
+                import pandas as _pd
+                final_ds = rd.from_pandas(final_ds)
+            final_ds.write_parquet(s["output"]["path"])
+            out_info["output_path"] = s["output"]["path"]
     return {"shards_run": ran, "shards_skipped": skipped,
             "rows_out": sum(m.rows_out for m in manifests),
-            "result": result}
+            "result": result, **out_info}

@@ -237,7 +237,20 @@ def run_resumable(input_path: "str | list[str]", out_dir: str,
             matched_counts={str(m): int(n) for m, n in
                             zip(matched["status_matched"], matched["n"])}))
         ran += 1
-    manifests = store.load_all()
+    # totals cover only THIS run's shard ids — extra manifests mean the
+    # input shrank since a previous run at this out_dir (counting them
+    # would include rows from inputs no longer in the job): hard error,
+    # same rule as the per-shard input-files mismatch above.
+    want_ids = {f"{i:05d}" for i in range(len(shards))}
+    all_manifests = store.load_all()
+    extra = sorted(m.shard_id for m in all_manifests
+                   if m.shard_id not in want_ids)
+    if extra:
+        raise RuntimeError(
+            f"out_dir has manifests {extra} beyond this run's "
+            f"{len(shards)} shards — the input shrank since the previous "
+            "run; use a fresh out_dir")
+    manifests = [m for m in all_manifests if m.shard_id in want_ids]
     route_totals: dict[str, int] = {}
     matched_totals: dict[str, int] = {}
     for m in manifests:

@@ -738,3 +738,22 @@ def test_repetition_scores():
     out = text.repetition_batch(t)
     assert out["dup_word_frac"].to_pylist() == [0.5, 0.5, 0.0]
     assert out["dup_line_frac"].to_pylist() == [0.0, 0.5, 0.0]
+
+
+def test_hll_rank_exact_at_power_of_two_boundaries():
+    """floor(log2) must be integer-exact: naive float log2 rounds up a few
+    ulps below powers of two (found in round-3 review; fixed with a 32-bit
+    split + frexp)."""
+    from logstash_filter_translate_ray.functions.sketch import HyperLogLog
+    for p in (4, 12, 16):
+        sb = 64 - p
+        for k in (1, 31, 32, 33, sb - 1):
+            if k >= sb:
+                continue
+            for w in ((1 << k), (1 << k) - 1):
+                if w == 0:
+                    continue
+                h = HyperLogLog(p)
+                h.add_hashes(np.array([w], dtype=np.uint64))
+                assert int(h.registers[0]) == sb - (w.bit_length() - 1), \
+                    (p, k, w)

@@ -693,3 +693,59 @@ def test_cli_spec_resumable(ray_session, tmp_path, capsys):
                  "--shard-files", "1"]) == 0
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["shards_run"] == 0 and r2["shards_skipped"] == 2
+
+
+def test_run_spec_resumable_output_and_stale_manifests(ray_session, tmp_path):
+    """(review r3) the spec's output.path receives the POST-CLAUSE result,
+    and a shrunken input at the same out_dir is a hard error instead of a
+    silent union of stale shard outputs."""
+    import json
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.spec import (
+        run_spec_resumable)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(pa.table({"doc_id": [i * 10, i * 10 + 1],
+                                 "text": ["same", f"uniq{i}"]}),
+                       str(src / f"p{i}.parquet"))
+    sink = str(tmp_path / "final")
+    spec = {"input": {"path": str(src)},
+            "dedup": {"kind": "exact"},
+            "output": {"path": sink}}
+    out = str(tmp_path / "out")
+    res = run_spec_resumable(spec, out, shard_files=1)
+    assert res["output_path"] == sink
+    written = pq.read_table(sink).to_pandas()
+    # dedup applied ACROSS shards before the sink: one 'same' survives
+    assert sorted(written["text"]) == ["same", "uniq0", "uniq1"]
+    assert res["rows_out"] == 4          # routed (pre-dedup) shard rows
+    # shrink the input → rerun must refuse the stale manifest
+    os.remove(str(src / "p1.parquet"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="input shrank"):
+        run_spec_resumable(spec, out, shard_files=1)
+
+
+def test_run_resumable_rejects_shrunken_input(ray_session, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines import run_resumable
+    from logstash_filter_translate_ray.sources.transcripts import (
+        make_transcripts)
+    src = tmp_path / "t"
+    src.mkdir()
+    tbl = make_transcripts(2000, seed=1)
+    half = len(tbl) // 2
+    pq.write_table(tbl.slice(0, half), str(src / "a.parquet"))
+    pq.write_table(tbl.slice(half), str(src / "b.parquet"))
+    out = str(tmp_path / "o")
+    r1 = run_resumable(str(src), out, shard_files=1)
+    assert r1["shards_run"] == 2
+    os.remove(str(src / "b.parquet"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="input shrank"):
+        run_resumable(str(src), out, shard_files=1)
