@@ -1130,8 +1130,8 @@ def oracle_sql() -> dict[str, str]:
             "AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 5000 "
             "UNION ALL SELECT doc_id FROM documents WHERE doc_id >= 250 "
             "AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000",
-        # built separately below: its /tmp cache generation must not be able
-        # to take every other oracle down with it
+        # transcripts_pipeline is built separately AFTER this literal: its
+        # /tmp cache generation must not take every other oracle down
         "curation_pipeline": _curation_sql(),
         "vocab_topk":
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "

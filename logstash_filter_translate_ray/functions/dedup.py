@@ -320,17 +320,49 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
 
         return ds_new.map_batches(keep, batch_format="pyarrow",
                                   batch_size=None)
-    new_h = ds_new.map_batches(
-        lambda t: _hash_i64(t, keep_all=True),
+    # big-seen path: the join shuffles SLIM (hash128, id) rows only — the
+    # text never rides an exchange (the module's core movement claim).
+    # Dropped ids (new rows whose content is seen) come from an INNER join;
+    # in incremental ingest they are the minority, so they broadcast back
+    # as an is_in filter over the untouched ds_new. If a degenerate corpus
+    # ever makes the dropped set outgrow the broadcast bound, fall back to
+    # dropping via the (still slim) id anti-join below.
+    slim = ds_new.map_batches(
+        lambda t: _hash_i64(t, keep_all=True)
+        .select([id_col, "content_hash", "content_hash2"]),
         batch_format="pyarrow", batch_size=None) \
         .repartition(num_partitions).materialize()
-    if new_h.count() == 0:
+    if slim.count() == 0:
         return ds_new
-    joined = new_h.join(flagged, "left_outer", num_partitions,
-                        on=("content_hash", "content_hash2"))
+    dropped = slim.join(flagged, "inner", num_partitions,
+                        on=("content_hash", "content_hash2")) \
+        .select_columns([id_col]).materialize()
+    n_drop = dropped.count()
+    if n_drop == 0:
+        return ds_new
+    if n_drop <= _BROADCAST_MAX_SEEN:
+        import ray as _ray
+        drop_ref = _ray.put(pa.array(np.concatenate(
+            [b[id_col].to_numpy(zero_copy_only=False)
+             for b in dropped.iter_batches(batch_format="pyarrow")])))
+
+        def keep_ids(t: pa.Table) -> pa.Table:
+            d = _ray.get(drop_ref) if isinstance(drop_ref, _ray.ObjectRef) \
+                else drop_ref
+            return t.filter(pc.invert(pc.is_in(t[id_col], value_set=d)))
+
+        return ds_new.map_batches(keep_ids, batch_format="pyarrow",
+                                  batch_size=None)
+    # worst case (most of the new corpus is already seen): anti-join the
+    # full rows against the dropped-id list — one text-bearing exchange,
+    # unavoidable once neither side fits a broadcast
+    flagged_ids = dropped.map_batches(
+        lambda t: t.append_column("_drop", pa.array([True] * len(t))),
+        batch_format="pyarrow", batch_size=None).repartition(num_partitions)
+    joined = ds_new.repartition(num_partitions).join(
+        flagged_ids, "left_outer", num_partitions, on=(id_col,))
     return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["_seen"]))
-        .drop_columns(["content_hash", "content_hash2", "_seen"]),
+        lambda t: t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"]),
         batch_format="pyarrow", batch_size=None)
 
 
@@ -807,6 +839,7 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
                    .map_batches(_init, batch_format="pyarrow",
                                 batch_size=None)).materialize()
 
+    changed: "int | None" = None       # None ⇒ zero rounds ran
     for _ in range(max_iters):
         nbr = _norm(edges.join(labels, "inner", num_partitions,
                                on=("dst",), right_on=("node",))
@@ -836,9 +869,10 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
         # whose diameter exceeds the round budget — the returned labels
         # would silently under-merge components, so make it loud.
         import warnings
+        moving = "unknown (0 rounds ran)" if changed is None else changed
         warnings.warn(
             f"minlabel_components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — components with diameter "
+            f"({moving} labels still changing) — components with diameter "
             f"> max_iters are under-merged; raise max_iters",
             RuntimeWarning, stacklevel=2)
     return labels

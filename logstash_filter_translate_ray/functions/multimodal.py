@@ -203,6 +203,10 @@ class DecodeFeatureStage:
         """REAL decoded features: images → per-channel means, pixel std,
         luma-histogram mass in 3 bands, dims; audio → rms, zero-crossing
         rate, duration, peak. 8-dim float32 either way."""
+        if not payload:
+            # missing payload: zero features, not a codec error (mirrors
+            # ResizeStage's passthrough for non-decodable rows)
+            return np.zeros(8, dtype=np.float32)
         fmt = sniff_format(payload)
         if fmt in ("ppm", "bmp"):
             img = decode_ppm(payload) if fmt == "ppm" else decode_bmp(payload)

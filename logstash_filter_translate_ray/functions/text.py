@@ -131,8 +131,15 @@ def repetition_batch(tbl: pa.Table, col: str = "text") -> pa.Table:
 
     words = frac(pc.utf8_split_whitespace(c), drop_empty=True)
     lines = frac(pc.split_pattern(c, pattern="\n"), drop_empty=False)
-    tbl = tbl.append_column("dup_word_frac", pa.array(words))
-    tbl = tbl.append_column("dup_line_frac", pa.array(lines))
+    # null text ⇒ null fractions (matches the SQL mirror, where
+    # len(regexp_extract_all(NULL, …)) propagates NULL)
+    null_mask = pc.is_null(c)
+    words_arr = pc.if_else(null_mask, pa.nulls(n, pa.float64()),
+                           pa.array(words))
+    lines_arr = pc.if_else(null_mask, pa.nulls(n, pa.float64()),
+                           pa.array(lines))
+    tbl = tbl.append_column("dup_word_frac", words_arr)
+    tbl = tbl.append_column("dup_line_frac", lines_arr)
     return tbl
 
 

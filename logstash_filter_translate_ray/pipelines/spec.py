@@ -111,8 +111,11 @@ _TEXT_STAGES = {k: _text_stage(k) for k in
 _KEEP_OPS = {">=", ">", "<=", "<", "==", "!=", "in"}
 
 
-def _keep_filter(ds, opts: dict):
+def _keep_filter(ds, opts: "dict | None"):
     """Vectorized row filter: keep rows where <column> <op> <value>."""
+    if not isinstance(opts, dict):
+        raise ConfigurationError(
+            f"keep requires an options mapping, got {opts!r}")
     col, op = opts.get("column"), opts.get("op", "==")
     val = opts.get("value")
     if not col or op not in _KEEP_OPS:
@@ -122,7 +125,8 @@ def _keep_filter(ds, opts: dict):
         # a missing value would compare everything against null and
         # silently drop every row — fail validation like other clauses
         raise ConfigurationError(f"keep requires a non-null value: {opts}")
-    if op == "in" and not hasattr(val, "__iter__"):
+    if op == "in" and (isinstance(val, (str, bytes))
+                       or not hasattr(val, "__iter__")):
         raise ConfigurationError(f"keep op 'in' needs a list value: {opts}")
 
     def fn(t):

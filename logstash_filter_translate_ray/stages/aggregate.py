@@ -138,7 +138,7 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
         row = {key: k}
         for q in qs:
             target = max(math.ceil(q * n), 1)
-            row[f"p{int(q * 100)}"] = int(
+            row[f"p{int(round(q * 100))}"] = int(
                 cents_sorted[np.searchsorted(cum, target)])
         out_rows.append(row)
     import pandas as pd

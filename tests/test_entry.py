@@ -100,3 +100,19 @@ def test_transcripts_pipeline_vs_duckdb(ray_session, sf_dir, con):
     g, w = canon(got), canon(want)
     assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_like=True)
+
+
+def test_registered_transcripts_oracle_sql_executes(ray_session):
+    """(review r3) the REGISTERED oracle_sql() string for
+    transcripts_pipeline — the one the driver will execute, /tmp
+    read_parquet included — runs and matches the Ray query at the
+    driver's comparison scale (sf0.01)."""
+    import duckdb
+    sql = entry_mod.oracle_sql().get("transcripts_pipeline")
+    if sql is None:
+        pytest.skip("oracle degraded to rows-only (cache generation failed)")
+    got = to_pandas(entry_mod.q_transcripts_pipeline("/root/testdata/sf0.01"))
+    want = duckdb.connect().execute(sql).df()
+    g, w = canon(got), canon(want)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_like=True)
