@@ -757,3 +757,21 @@ def test_hll_rank_exact_at_power_of_two_boundaries():
                 h.add_hashes(np.array([w], dtype=np.uint64))
                 assert int(h.registers[0]) == sb - (w.bit_length() - 1), \
                     (p, k, w)
+
+
+def test_incremental_dedup_drop_broadcast_path(ray_session):
+    """Big-seen / small-dropped regime: the slim inner join finds dropped
+    ids and broadcasts them back — the text column never joins."""
+    import ray.data as rd
+    seen = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                   "text": ["alpha", "beta", "gamma"]}))
+    new = rd.from_arrow(pa.table({"doc_id": [10, 11],
+                                  "text": ["beta", "delta"]}))
+    old = dedup._BROADCAST_MAX_SEEN
+    dedup._BROADCAST_MAX_SEEN = 2      # seen(3) > 2 → join; drop(1) ≤ 2
+    try:
+        out = sorted(dedup.incremental_dedup(new, seen)
+                     .to_pandas()["doc_id"])
+    finally:
+        dedup._BROADCAST_MAX_SEEN = old
+    assert out == [11]
