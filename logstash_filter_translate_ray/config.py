@@ -49,12 +49,13 @@ class TranslateConfig:
     yaml_dictionary_code_point_limit: Optional[int] = None
     yaml_load_strategy: str = "one_shot"
     ecs_compatibility: str = "disabled"    # disabled | v1 | v8 (v8 → v1 behavior)
-    # Opt-in Logstash Event#include? parity for the SINGLE-value shape
-    # (single_value_update.rb:29-31): a null cell counts as PRESENT-but-nil
-    # — a nil source is looked up as "" (CoerceOther nil.to_s) and a nil
-    # target blocks translation unless override. Default False keeps the
-    # engine's columnar convention (null ⇔ absent, SURVEY §8); iterate_on
-    # shapes always use the columnar convention.
+    # Opt-in Logstash Event#include? parity (single_value_update.rb:29-31,
+    # array_of_values_update.rb:23-27): a null cell counts as
+    # PRESENT-but-nil — a nil scalar source is looked up as "" (CoerceOther
+    # nil.to_s), a nil target blocks translation unless override, and a nil
+    # iterate_on list is included as CoerceArray [] (target written as an
+    # empty list in the values shape). Default False keeps the engine's
+    # columnar convention (null ⇔ absent, SURVEY §8).
     nil_is_present: bool = False
 
     def __post_init__(self) -> None:

@@ -318,9 +318,10 @@ def _row_single(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
 
 
 def _row_array_of_values(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
-    if not cfg.override and event_include(event, cfg.target):
+    nil_p = cfg.nil_is_present
+    if not cfg.override and event_include(event, cfg.target, nil_p):
         return False
-    if not event_include(event, cfg.iterate_on):
+    if not event_include(event, cfg.iterate_on, nil_p):
         return False
     val = event_get(event, cfg.iterate_on)
     source = val if isinstance(val, list) else ([] if val is None else [val])
@@ -339,7 +340,7 @@ def _row_array_of_values(event: dict, cfg: TranslateConfig, snap: DictSnapshot) 
 
 def _row_array_of_maps(event: dict, cfg: TranslateConfig, snap: DictSnapshot) -> bool:
     # inclusion ignores override (array_of_maps_value_update.rb:14-16)
-    if not event_include(event, cfg.iterate_on):
+    if not event_include(event, cfg.iterate_on, cfg.nil_is_present):
         return False
     val = event_get(event, cfg.iterate_on)
     source = val if isinstance(val, list) else ([] if val is None else [val])

@@ -604,3 +604,23 @@ def test_nil_is_present_fuzz_vs_oracle():
         rows = [{"s": rnd.choice([None, "a", "b", "zz"]),
                  "t": rnd.choice([None, "keep"])} for _ in range(64)]
         run_both(cfg, rows)
+
+
+def test_nil_is_present_iterate_shapes():
+    """nil_is_present extends to the iterate shapes: a present-but-nil
+    list is included as CoerceArray [] — the values shape writes an empty
+    target list (array_of_values_update.rb:23-27 + CoerceArray)."""
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                          dictionary={"a": "A"}, nil_is_present=True)
+    out = run_both(cfg, [{"foo": ["a", "zz"]}, {"foo": None}])
+    assert out[0]["baz"] == ["A", None] and out[1]["baz"] == []
+    # default mode: null list row is skipped entirely
+    cfg_off = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                              dictionary={"a": "A"})
+    out = run_both(cfg_off, [{"foo": ["a"]}, {"foo": None}])
+    assert out[1].get("baz") is None
+    # maps shape: null list included, zero elements → no writes, no crash
+    cfg_m = TranslateConfig(source="bar", iterate_on="foo", target="baz",
+                            dictionary={"a": "A"}, nil_is_present=True)
+    out = run_both(cfg_m, [{"foo": [{"bar": "a"}]}, {"foo": None}])
+    assert out[0]["foo"][0]["baz"] == "A"
