@@ -6,7 +6,7 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (52; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
+Query inventory (53; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
 embedding_neardup_lsh — approximate by design — are rows-only):
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
@@ -16,7 +16,7 @@ embedding_neardup_lsh — approximate by design — are rows-only):
   aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
                topk_users★ sort_limit★ distinct_types★ union_counts★
                zscore_outliers★ vocab_topk★ quantiles★
-  windows:     tumbling_counts★ prev_event_gap★ session_counts★
+  windows:     tumbling_counts★ window_quantiles★ prev_event_gap★
                event_paths★
   dedup:       dedup_exact★ incremental_dedup★ minhash_pairs★ simhash★
                simhash_pairs★ embedding_neardup★ embedding_neardup_lsh
@@ -525,6 +525,20 @@ def q_tumbling_counts(sf_dir: str):
     return tumbling_counts(ds, keys=("event_type",), unit="hour")
 
 
+def q_window_quantiles(sf_dir: str):
+    """Composition: tumbling 1-hour buckets × exact discrete quantiles —
+    per-window latency percentiles, the log-dashboard staple. Row-local
+    bucketing + the histogram-combiner quantile merge; no per-key
+    shuffle."""
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    from logstash_filter_translate_ray.stages.window import add_time_bucket
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    bucketed = ds.map_batches(lambda t: add_time_bucket(t, "ts", "hour"),
+                              batch_format="pyarrow", batch_size=None)
+    return grouped_quantiles(bucketed, key="bucket", val="value")
+
+
 def q_prev_event_gap(sf_dir: str):
     """Per-user previous-event gap in µs (as-of/self-lag via per-key
     groups ordered by (ts, event_id))."""
@@ -819,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users": q_topk_users,
         "agg_minmax": q_agg_minmax,
         "tumbling_counts": q_tumbling_counts,
+        "window_quantiles": q_window_quantiles,
         "prev_event_gap": q_prev_event_gap,
         "session_counts": q_session_counts,
         "distinct_types": q_distinct_types,
@@ -1054,6 +1069,12 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts":
             "SELECT date_trunc('hour', ts) AS bucket, event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2",
+        "window_quantiles":
+            "WITH c AS (SELECT date_trunc('hour', ts) AS bucket, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT bucket, quantile_disc(cents, 0.5) AS p50, "
+            "quantile_disc(cents, 0.95) AS p95, "
+            "quantile_disc(cents, 0.99) AS p99 FROM c GROUP BY bucket",
         "prev_event_gap":
             "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us "
