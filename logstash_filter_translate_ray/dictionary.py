@@ -98,8 +98,11 @@ def _yaml_one_shot_load(text: str) -> Any:
     def _omap(loader, node):
         if isinstance(node, yaml.MappingNode):
             return loader.construct_mapping(node)
-        pairs = loader.construct_yaml_omap(node)
-        return next(pairs)
+        gen = loader.construct_yaml_omap(node)
+        ret = next(gen)           # yields the (empty) list first …
+        for _ in gen:             # … and fills it only when RESUMED —
+            pass                  # exhaust or sequence-form !!omap loads []
+        return ret
 
     _DictLoader.add_constructor("tag:yaml.org,2002:omap", _omap)
     return yaml.load(text, Loader=_DictLoader)
@@ -303,8 +306,15 @@ class FileDictionary:
         try:
             self._mtime = os.path.getmtime(self.path)
             items = self._loader()
-        except FileNotFoundError:
-            # file.rb:54-55 — warn, continue with old dictionary
+        except FileNotFoundError as e:
+            # file.rb:54-55 — warn, continue with old dictionary; but the
+            # FIRST load (raise_exception=True) must fail loudly: a missing
+            # file at register time otherwise leaves _snapshot=None and
+            # every consumer dies later with a bare AssertionError (S13)
+            if raise_exception:
+                raise DictionaryFileError(
+                    f"Translate: {e} when loading dictionary file at "
+                    f"{self.path}") from e
             return False
         except Exception as e:  # noqa: BLE001 — mirrors file.rb:56-61
             if raise_exception:

@@ -245,6 +245,15 @@ class DictSnapshot:
             for k in keys:
                 if k in v:
                     return False
+                # a replacement may also complete a key TOGETHER WITH the
+                # surrounding subject text (review r3: {"x": "ab",
+                # "abc": "q"} on "xc" — the "ab" butts against "c" and a
+                # later sequential pass matches "abc" that the single-pass
+                # union never saw): unsafe if any suffix of v is a prefix
+                # of k, or any prefix of v is a suffix of k.
+                for i in range(1, min(len(v) + 1, len(k))):
+                    if k.startswith(v[-i:]) or k.endswith(v[:i]):
+                        return False
         return True
 
     # ---- row-oriented fetches (the oracle's strategies, memory.rb:4-49) ----
@@ -575,7 +584,10 @@ def coerce_source_column(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
         take = np.where(nonempty, starts, -1)
         take_arr = pa.array(np.where(take >= 0, take, 0), type=pa.int64())
         first = pc.take(flat_str, take_arr)
-        # empty list → "" (Ruby source.first.to_s with nil first)
+        # empty list → ""; a null FIRST ELEMENT also coerces to "" (Ruby
+        # source.first.to_s with nil first — review r3 fix: the key used to
+        # stay null and miss keys/patterns that match "")
+        first = pc.fill_null(first, "")
         first = pc.if_else(pa.array(nonempty), first, pa.scalar("", type=pa.string()))
         # null list row → null (handled by inclusion mask upstream)
         return pc.if_else(pa.array(valid), first, pa.nulls(len(col), pa.string()))
@@ -790,7 +802,17 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     n = len(tbl)
     incl = _inclusion_mask(tbl, cfg, cfg.source)
     if not incl.any():
-        out = _merge_into_target(tbl, cfg.target, incl, _nulls_like(n, None)) \
+        # BLOCK-INVARIANT type on the fast path too (review r3): with a
+        # typed dictionary and no fallback, an all-excluded block must
+        # append nulls of the VALUE type — a string-null column here and
+        # int64 in a block with matches crashes pa.concat_tables.
+        if cfg.fallback is not None:
+            empty_t = pa.string()
+        else:
+            varr = snap.value_array
+            empty_t = varr.type if varr is not None else pa.string()
+        out = _merge_into_target(tbl, cfg.target, incl,
+                                 pa.nulls(n, empty_t)) \
             if (cfg.target not in tbl.column_names
                 and len(parse_field_ref(cfg.target)) == 1) else tbl
         return _with_matched(out, matched_col, incl)
@@ -863,12 +885,21 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
     n = len(tbl)
     it = cfg.iterate_on
     incl = _inclusion_mask(tbl, cfg, it)
-    if it not in tbl.column_names or not incl.any():
+    it_col = resolve_path_column(tbl, it)
+    if it_col is None or not incl.any():
+        # fast-path element type must match the write path's (review r3):
+        # string when a fallback is configured or values unify to string,
+        # else the dictionary's value type
+        if cfg.fallback is not None:
+            elem_t = pa.string()
+        else:
+            varr = snap.value_array
+            elem_t = varr.type if varr is not None else pa.string()
         out = tbl if cfg.target in tbl.column_names else \
-            tbl.append_column(cfg.target, pa.nulls(n, pa.list_(pa.string())))
+            tbl.append_column(cfg.target, pa.nulls(n, pa.list_(elem_t)))
         return _with_matched(out, matched_col, np.zeros(n, dtype=bool))
 
-    col = _as_array(tbl[it])
+    col = _as_array(it_col)
     if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
         # CoerceOther: Array(scalar) — treat each row as a 1-element list
         col = pa.ListArray.from_arrays(
@@ -959,6 +990,14 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
     per-row Python (SURVEY §2 hard part (d))."""
     n = len(tbl)
     it = cfg.iterate_on
+    if len(parse_field_ref(it)) > 1:
+        # the struct-rebuild write-back below is top-level only; a silent
+        # no-op here would DIVERGE from the row oracle (review r3) — fail
+        # loudly until a nested write-back exists
+        raise ConfigurationError(
+            f"iterate_on {it!r}: nested field references are not supported "
+            "for the array-of-maps shape (top-level list<struct> columns "
+            "only)")
     # inclusion ignores override (array_of_maps_value_update.rb:14-16)
     incl = _inclusion_mask(tbl, cfg, it, check_override=False)
     if it not in tbl.column_names or not incl.any():
@@ -1024,8 +1063,15 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
     if target_name in names:
         ti = names.index(target_name)
         old = arrays[ti]
-        if old.type != elem_vals.type and not pa.types.is_null(old.type):
-            old = _as_array(_cast_to_string(old)) if not pa.types.is_null(elem_vals.type) else old
+        if pa.types.is_null(elem_vals.type):
+            # nothing written (or only nulls): keep the old child's type so
+            # unwritten elements KEEP their existing values (review r3: the
+            # string-cast fallback used to wipe them to null)
+            elem_vals = pa.nulls(len(flat), old.type
+                                 if not pa.types.is_null(old.type)
+                                 else pa.string())
+        elif old.type != elem_vals.type and not pa.types.is_null(old.type):
+            old = _as_array(_cast_to_string(old))
             elem_vals = _as_array(_cast_to_string(elem_vals))
         merged = pc.if_else(pa.array(write_elem), elem_vals,
                             old if old.type == elem_vals.type else pa.nulls(len(flat), elem_vals.type))

@@ -61,8 +61,11 @@ def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
         if not frames:
             return pd.DataFrame(columns=[*keys, count_name])
         merged = pd.concat(frames, ignore_index=True)
-        return merged.groupby(list(keys), as_index=False, sort=True)[count_name] \
-            .sum()
+        # dropna=False: non-string keys (timestamps, ints) can be null and
+        # the NULL_LABEL fill above only covers string columns — pandas'
+        # default would silently drop the whole null-keyed group (r3 review)
+        return merged.groupby(list(keys), as_index=False, sort=True,
+                              dropna=False)[count_name].sum()
     return partial.groupby(list(keys)).aggregate(
         Sum(count_name, alias_name=count_name))
 

@@ -29,10 +29,15 @@ def route_dataset(ds: "ray.data.Dataset", routes: dict[str, str], *,
                           dictionary=dict(routes), fallback=default_route,
                           override=True, regex=regex)
     snap_ref = ray.put(DictSnapshot(cfg.dictionary))
+    # slim-cfg rule (CLAUDE.md): the snapshot is the broadcast; the closure
+    # must not ALSO pickle the full route table per task
+    slim_cfg = TranslateConfig(source=key, target=route_col, dictionary={},
+                               fallback=default_route, override=True,
+                               regex=regex)
 
     def _fn(batch: pa.Table) -> pa.Table:
         snap = ray.get(snap_ref) if isinstance(snap_ref, ray.ObjectRef) else snap_ref
-        return translate_table(batch, cfg, snap, matched_col=None)
+        return translate_table(batch, slim_cfg, snap, matched_col=None)
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 

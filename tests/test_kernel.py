@@ -624,3 +624,75 @@ def test_nil_is_present_iterate_shapes():
                             dictionary={"a": "A"}, nil_is_present=True)
     out = run_both(cfg_m, [{"foo": [{"bar": "a"}]}, {"foo": None}])
     assert out[0]["foo"][0]["baz"] == "A"
+
+
+# --------------------------------------------------------------------------
+# Round-3 package-review regressions (pre-existing kernel/stage bugs)
+# --------------------------------------------------------------------------
+
+def test_union_sequential_unsafe_when_value_completes_key():
+    """{"x": "ab", "abc": "q"} on "xc": the sequential replace path would
+    create a new "abc" match the single-pass union never sees — the safety
+    check must reject it and both engines must return "abc"."""
+    cfg = TranslateConfig(source="s", target="t", exact=False,
+                          dictionary={"x": "ab", "abc": "q"})
+    snap = DictSnapshot(cfg.dictionary)
+    assert not snap.union_sequential_safe
+    out = run_both(cfg, [{"s": "xc"}, {"s": "abc"}, {"s": "zx"}])
+    assert out[0]["t"] == "abc"
+    # prefix-side variant: value's prefix completes a key's suffix
+    cfg2 = TranslateConfig(source="s", target="t", exact=False,
+                          dictionary={"x": "bc", "abc": "q"})
+    assert not DictSnapshot(cfg2.dictionary).union_sequential_safe
+    out = run_both(cfg2, [{"s": "ax"}])
+    assert out[0]["t"] == "abc"
+
+
+def test_typed_dict_no_fallback_all_excluded_block_type():
+    """Review r3: an all-excluded block must append target nulls of the
+    VALUE type, not string — concat with a matching block must not raise."""
+    cfg = TranslateConfig(source="s", target="t", dictionary={"a": 100})
+    snap = DictSnapshot(cfg.dictionary)
+    t_null = translate_table(pa.table({"s": pa.array([None, None],
+                                                     type=pa.string())}),
+                             cfg, snap)
+    t_hit = translate_table(pa.table({"s": ["a"]}), cfg, snap)
+    both = pa.concat_tables([t_null, t_hit])    # must not raise
+    assert both["t"].to_pylist() == [None, None, 100]
+
+
+def test_maps_pass_through_keeps_existing_child():
+    """Review r3: non-unifying dict values (value_array None) + a batch
+    with zero element writes must NOT wipe an existing target child."""
+    cfg = TranslateConfig(source="bar", iterate_on="foo", target="label",
+                          dictionary={"a": 1, "b": "two"})
+    out = run_both(cfg, [{"foo": [{"bar": "nomatch", "label": 7}]}])
+    assert out[0]["foo"][0]["label"] == 7
+
+
+def test_nested_iterate_values_translates():
+    """Review r3: nested iterate_on == source resolves through the struct
+    path instead of silently no-opping."""
+    cfg = TranslateConfig(source="[m][tags]", iterate_on="[m][tags]",
+                          target="baz", dictionary={"a": "A"})
+    out = run_both(cfg, [{"m": {"tags": ["a", "zz"]}}, {"m": None}])
+    assert out[0]["baz"] == ["A", None]
+
+
+def test_nested_iterate_maps_raises_clearly():
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    cfg = TranslateConfig(source="bar", iterate_on="[m][items]",
+                          target="baz", dictionary={"a": "A"})
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({"m": [{"items": [{"bar": "a"}]}]})
+    with pytest.raises(ConfigurationError, match="nested field"):
+        translate_table(tbl, cfg, snap)
+
+
+def test_list_source_null_first_element_coerces_to_empty():
+    """Review r3: CoerceArray source [None, 'x'] fetches nil.to_s == ''."""
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"": "EMPTY", "x": "X"})
+    out = run_both(cfg, [{"s": [None, "x"]}, {"s": ["x"]}, {"s": []}])
+    assert out[0]["t"] == "EMPTY" and out[1]["t"] == "X"
+    assert out[2]["t"] == "EMPTY"

@@ -749,3 +749,18 @@ def test_run_resumable_rejects_shrunken_input(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="input shrank"):
         run_resumable(str(src), out, shard_files=1)
+
+
+def test_grouped_counts_keeps_null_nonstring_keys(ray_session):
+    """Review r3: a null timestamp bucket (non-string key — NULL_LABEL fill
+    doesn't apply) must not vanish from the driver-merged counts."""
+    import pyarrow as pa
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    tbl = pa.table({"bucket": pa.array([None, None, 1, 1, 2],
+                                       type=pa.timestamp("us"))})
+    out = grouped_counts(rd.from_arrow(tbl), ["bucket"], driver_merge=True)
+    assert int(out["n"].sum()) == 5
+    assert out["bucket"].isna().any()
+    null_n = int(out.loc[out["bucket"].isna(), "n"].iloc[0])
+    assert null_n == 2
