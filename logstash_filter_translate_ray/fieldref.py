@@ -87,8 +87,4 @@ def event_set(event: dict, ref: str, value: Any) -> None:
             if part not in cur or not isinstance(cur[part], (dict, list)):
                 cur[part] = {}
             cur = cur[part]
-    last = parts[-1]
-    if isinstance(last, int):
-        cur[last] = value
-    else:
-        cur[last] = value
+    cur[parts[-1]] = value

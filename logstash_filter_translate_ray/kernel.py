@@ -134,7 +134,10 @@ class DictSnapshot:
             probe = pa.array([""])  # non-empty: RE2 compiles lazily, an empty probe validates nothing
             for k in self.keys:
                 compiled = compile_ruby_regex(k)
-                pat = ruby_regex_to_python(k)
+                # (?m: …) gives RE2 the same Ruby line-anchor semantics the
+                # Python side gets via re.MULTILINE (RE2 classes are
+                # already ASCII, matching re.ASCII on the Python side)
+                pat = "(?m:" + ruby_regex_to_python(k) + ")"
                 try:
                     pc.match_substring_regex(probe, pattern=pat)
                     arrow_ok = True

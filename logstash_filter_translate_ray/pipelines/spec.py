@@ -316,6 +316,16 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
     row_local = {k: s[k] for k in ("filters", "route") if k in s}
 
     store = CheckpointStore(out_dir)
+    # fail FAST on a shrunken input (see run_resumable — checking after the
+    # loop would waste the whole run before erroring)
+    want_ids = {f"{i:05d}" for i in range(len(shards))}
+    extra = sorted(m.shard_id for m in store.load_all()
+                   if m.shard_id not in want_ids)
+    if extra:
+        raise RuntimeError(
+            f"out_dir has manifests {extra} beyond this run's "
+            f"{len(shards)} shards — the input shrank since the previous "
+            "run; use a fresh out_dir")
     ran = skipped = 0
     for i, files in enumerate(shards):
         shard_id = f"{i:05d}"
@@ -343,20 +353,7 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
             rows_in=rows_in, rows_out=rows_out))
         ran += 1
 
-    # Only THIS run's shard ids count: a previous larger run at the same
-    # out_dir leaves extra manifests whose inputs are no longer part of the
-    # spec — silently unioning them would feed deleted data into the
-    # global clauses, so that is a hard error (same rule as the per-shard
-    # input mismatch above).
-    want_ids = {f"{i:05d}" for i in range(len(shards))}
-    manifests = [m for m in store.load_all() if m.shard_id in want_ids]
-    extra = sorted(m.shard_id for m in store.load_all()
-                   if m.shard_id not in want_ids)
-    if extra:
-        raise RuntimeError(
-            f"out_dir has manifests {extra} beyond this run's "
-            f"{len(shards)} shards — the input shrank since the previous "
-            "run; use a fresh out_dir")
+    manifests = store.load_all()
     # explicit file list: read_parquet expands a single dir path but not a
     # LIST of dir paths
     shard_parquet = [os.path.join(root, f)

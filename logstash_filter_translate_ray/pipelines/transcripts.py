@@ -26,7 +26,8 @@ import ray.data as rd
 
 from ..config import TranslateConfig
 from ..checkpoint import CheckpointStore, ShardManifest
-from ..stages.aggregate import conv_turn_counts, matched_counts, sink_counts
+from ..stages.aggregate import (conv_turn_counts, grouped_counts,
+                                matched_counts, sink_counts)
 from ..stages.parse import ParseConfig, parse_dataset
 from ..stages.route import route_dataset, write_routed
 from ..stages.translate_stage import translate_dataset
@@ -164,13 +165,27 @@ def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
     hive-partitioned parquet first and the aggregates are then computed
     over the written files (single source of truth)."""
     cfg = cfg or TranscriptPipelineConfig()
+    if out_dir is not None and os.path.isdir(out_dir) and os.listdir(out_dir):
+        # write_parquet APPENDS uniquely-named files: rerunning into a
+        # non-empty dir would double rows and inflate every aggregate
+        # (review r3) — the resumable runner is the rerun-into-same-dir API
+        raise ValueError(
+            f"out_dir {out_dir!r} is not empty — remove it or use "
+            "run_resumable for checkpointed reruns")
     ds = build_enriched_dataset(read_transcripts(input_path), cfg)
     if out_dir is not None:
         write_routed(ds, out_dir)
         # aggregates over what was written (single source of truth)
         ds = rd.read_parquet(out_dir)
-    routes = sink_counts(ds, by=["tool_label"])
-    matched = matched_counts(ds, "status_matched")
+    # ONE execution of the (lazy) DAG for both small aggregates: the joint
+    # count's marginals are the per-sink and matched counters (review r3:
+    # two separate grouped_counts calls re-ran the whole enrich chain)
+    joint = grouped_counts(ds, ["route", "tool_label", "status_matched"],
+                           driver_merge=True)
+    routes = joint.groupby(["route", "tool_label"], as_index=False,
+                           dropna=False)["n"].sum()
+    matched = joint.groupby("status_matched", as_index=False,
+                            dropna=False)["n"].sum()
     convs = conv_turn_counts(ds)
     return {"sink_counts": routes, "status_matched_counts": matched,
             "conv_turn_counts": convs}
@@ -203,6 +218,17 @@ def run_resumable(input_path: "str | list[str]", out_dir: str,
     cfg = cfg or TranscriptPipelineConfig()
     store = CheckpointStore(out_dir)
     shards = _shard_inputs(input_path, shard_files)
+    # fail FAST if the input shrank since a previous run at this out_dir:
+    # stale manifests would otherwise poison the totals, and checking only
+    # after the loop would waste the whole run before erroring (review r3)
+    want_ids = {f"{i:05d}" for i in range(len(shards))}
+    extra = sorted(m.shard_id for m in store.load_all()
+                   if m.shard_id not in want_ids)
+    if extra:
+        raise RuntimeError(
+            f"out_dir has manifests {extra} beyond this run's "
+            f"{len(shards)} shards — the input shrank since the previous "
+            "run; use a fresh out_dir")
     ran, skipped = 0, 0
     for i, files in enumerate(shards):
         shard_id = f"{i:05d}"
@@ -237,20 +263,7 @@ def run_resumable(input_path: "str | list[str]", out_dir: str,
             matched_counts={str(m): int(n) for m, n in
                             zip(matched["status_matched"], matched["n"])}))
         ran += 1
-    # totals cover only THIS run's shard ids — extra manifests mean the
-    # input shrank since a previous run at this out_dir (counting them
-    # would include rows from inputs no longer in the job): hard error,
-    # same rule as the per-shard input-files mismatch above.
-    want_ids = {f"{i:05d}" for i in range(len(shards))}
-    all_manifests = store.load_all()
-    extra = sorted(m.shard_id for m in all_manifests
-                   if m.shard_id not in want_ids)
-    if extra:
-        raise RuntimeError(
-            f"out_dir has manifests {extra} beyond this run's "
-            f"{len(shards)} shards — the input shrank since the previous "
-            "run; use a fresh out_dir")
-    manifests = [m for m in all_manifests if m.shard_id in want_ids]
+    manifests = store.load_all()
     route_totals: dict[str, int] = {}
     matched_totals: dict[str, int] = {}
     for m in manifests:

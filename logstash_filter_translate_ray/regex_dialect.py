@@ -91,7 +91,12 @@ def ruby_regex_to_python(pattern: str) -> str:
                     raise ConfigurationError(
                         rf"Ruby '\k<{name}>' recursion-level backref has no "
                         "Python equivalent")
-                out.append(f"(?P={name})")
+                if name.isdigit():
+                    # Ruby numeric backref \k<1> == \1 (review r3: the
+                    # (?P=1) form is an invalid Python group name)
+                    out.append(f"\\{int(name)}")
+                else:
+                    out.append(f"(?P={name})")
                 i = j + 1
                 continue
             if not in_class and nxt == "g" and i + 2 < n and pattern[i + 2] in "<'":
@@ -144,6 +149,9 @@ def compile_ruby_regex(key: str) -> "re.Pattern":
     except ConfigurationError as e:
         raise ConfigurationError(f"regex dictionary key {key!r}: {e}")
     try:
-        return re.compile(translated)
+        # Ruby semantics (review r3): ^/$ are LINE anchors (MULTILINE) and
+        # \d/\w/\s/\b are ASCII-only (ASCII) — also what RE2 does by
+        # default, so the Python fallback and the Arrow kernels agree.
+        return re.compile(translated, re.MULTILINE | re.ASCII)
     except re.error as e:
         raise ConfigurationError(f"invalid regex dictionary key {key!r}: {e}")

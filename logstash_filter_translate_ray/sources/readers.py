@@ -14,7 +14,11 @@ import ray.data as rd
 from .transcripts import TRANSCRIPT_SCHEMA
 
 _CONVERT = pacsv.ConvertOptions(
-    column_types={f.name: f.type for f in TRANSCRIPT_SCHEMA})
+    column_types={f.name: f.type for f in TRANSCRIPT_SCHEMA},
+    # review r3: without this, null string cells round-trip as "" and the
+    # engine's null ⇔ absent convention diverges between CSV and parquet
+    # sources (a null tool became "" → dict miss → fallback written)
+    strings_can_be_null=True)
 
 
 def read_transcripts_csv(paths: "str | list[str]") -> "rd.Dataset":

@@ -105,6 +105,11 @@ def transcripts_parquet_path(n_turns: int, seed: int = 42,
     if os.path.exists(done):
         return out
     tmp = out + ".tmp"
+    # clear any crashed-run leftovers: a stale .tmp generated with a
+    # different n_files would otherwise leak extra part files into the
+    # final rename and _DONE would pin the corruption (review r3)
+    import shutil as _sh
+    _sh.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     tbl = make_transcripts(n_turns, seed)
     n_files = max(1, min(n_files, max(1, n_turns // 10_000)))

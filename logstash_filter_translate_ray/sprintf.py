@@ -104,8 +104,22 @@ def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arr
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return col
     if pa.types.is_floating(col.type):
-        # Ruby Float#to_s keeps a trailing .0; Arrow cast drops it — go via numpy
+        # Ruby Float#to_s keeps a trailing .0; Arrow cast drops it — go via
+        # numpy. NULL vs NaN must come from the Arrow VALIDITY (review r3:
+        # to_numpy renders nulls as NaN too, and conflating them turned a
+        # genuine NaN value into the absent-field path) — a valid NaN cell
+        # stringifies like the row oracle's _to_s (str(nan) == 'nan').
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         vals = col.to_numpy(zero_copy_only=False)
-        out = [None if v is None or (isinstance(v, float) and np.isnan(v)) else _to_s(float(v)) for v in vals]
+        out = [_to_s(float(v)) if ok else None
+               for v, ok in zip(vals, valid)]
         return pa.array(out, type=pa.string())
+    if pa.types.is_timestamp(col.type):
+        # str(datetime) omits an all-zero microsecond field; Arrow's cast
+        # prints '.000000' — strip it so row/column strings are identical
+        s = pc.cast(col, pa.string())
+        return pc.replace_substring_regex(s, pattern=r"\.000000$",
+                                          replacement="")
     return pc.cast(col, pa.string())

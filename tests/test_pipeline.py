@@ -259,7 +259,10 @@ def test_resume_rejects_changed_inputs(ray_session, tmp_path):
     src = transcripts_parquet_path(20_000, seed=42)
     out = str(tmp_path / "guard")
     run_resumable(src, out, shard_files=1)
-    with pytest.raises(RuntimeError, match="checkpoint mismatch"):
+    # either guard is correct: the fail-fast shrank check (shard count
+    # changed) or the per-shard input-files mismatch
+    with pytest.raises(RuntimeError,
+                       match="checkpoint mismatch|input shrank"):
         run_resumable(src, out, shard_files=2)
 
 
