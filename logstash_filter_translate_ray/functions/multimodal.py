@@ -265,7 +265,10 @@ class ResizeStage:
     def __call__(self, tbl: pa.Table) -> pa.Table:
         w = tbl["width"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = tbl["height"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # zero/null metadata dims: scale is unused for real-decoded
+            # images (dims come from the payload header) and guarded below
+            scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
         if self.use_real:
             payloads = tbl["payload"].to_pylist()
             new_payloads = []
@@ -285,8 +288,10 @@ class ResizeStage:
                     rw[i], rh[i] = ow, oh
                 else:
                     new_payloads.append(p)        # audio/video: passthrough
-                    # scale is NaN whenever EITHER dim is null
-                    bad = np.isnan(w[i]) or np.isnan(h[i])
+                    # null dims make scale NaN; zero dims make it inf —
+                    # either way there is nothing meaningful to resize
+                    bad = not (np.isfinite(w[i] * scale[i])
+                               and np.isfinite(h[i] * scale[i]))
                     rw[i] = 0 if bad else int(w[i] * scale[i])
                     rh[i] = 0 if bad else int(h[i] * scale[i])
             idx = tbl.column_names.index("payload")
