@@ -6,25 +6,32 @@ every implemented operator from SURVEY.md §2 (see §8 coverage map) onto the
 sf parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL where
 the op is SQL-expressible (same column names both sides).
 
-Query inventory (53; ★ = DuckDB-oracled; only lsh_topk / ivf_topk /
-embedding_neardup_lsh — approximate by design — are rows-only):
+Query inventory (50 — the driver checks at most 50 rows, so the r4 set is
+pruned to exactly that; ★ = DuckDB-oracled. EVERY query now carries an
+oracle: the approximate trio (lsh_topk / ivf_topk — recall-gate rows;
+embedding_neardup_lsh — deterministic seeded planes make it ID-exact vs
+the exact-pairs SQL at sf0.01, P(miss per pair) ≈ 3e-4) included.
+r3's text_stats / sort_limit / union_counts were folded out to fit the
+cap: their operator coverage is held by quality_scores (the same
+punct/stopword RE2 counts feed quality_score), topk_users (ds.sort +
+limit) and weighted_mix (Dataset.union) respectively.
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
   pipeline:    events_pipeline★ transcripts_pipeline★ curation_pipeline★
                route_counts★ matched_counts★ filter_pushdown★
   parse:       parse_extract★ (grok multi-capture inside events_pipeline)
   aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
-               topk_users★ sort_limit★ distinct_types★ union_counts★
-               zscore_outliers★ vocab_topk★ quantiles★
+               topk_users★ distinct_types★ zscore_outliers★ vocab_topk★
+               quantiles★
   windows:     tumbling_counts★ window_quantiles★ prev_event_gap★
-               event_paths★
+               event_paths★ session_counts★
   dedup:       dedup_exact★ incremental_dedup★ minhash_pairs★ simhash★
-               simhash_pairs★ embedding_neardup★ embedding_neardup_lsh
+               simhash_pairs★ embedding_neardup★ embedding_neardup_lsh★
                jaccard_pairs★
   sampling:    hash_sample★ split_counts★ weighted_mix★
-  similarity:  ann_topk★ knn_join★ lsh_topk ivf_topk
-  text:        token_count★ text_stats★ quality_scores★ langid★
-               repetition_scores★
+  similarity:  ann_topk★ knn_join★ lsh_topk★(recall gate)
+               ivf_topk★(recall gate)
+  text:        token_count★ quality_scores★ langid★ repetition_scores★
                fingerprint★ winnow★
   multimodal:  multimodal_features★ multimodal_real_decode★
 
@@ -219,12 +226,6 @@ def q_agg_value_by_type(sf_dir: str):
         .groupby("event_type").aggregate(Sum("sum_cents", alias_name="sum_cents"))
 
 
-def q_sort_limit(sf_dir: str):
-    """Sort + limit (top-10 events by value)."""
-    ds = _read(sf_dir, "events", ["event_id", "value"])
-    return ds.sort("value", descending=True).limit(10)
-
-
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash groupby + native min aggregate (no
     per-group callbacks)."""
@@ -238,24 +239,6 @@ def q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return token_count_dataset(ds).select_columns(
         ["doc_id", "n_tokens_ws", "n_tokens_bpe"])
-
-
-def q_text_stats(sf_dir: str):
-    """Quality-feature counts (integers for hash-stable comparison)."""
-    import pyarrow.compute as pc
-
-    def fn(t: pa.Table) -> pa.Table:
-        n_punct = pc.cast(pc.count_substring_regex(t["text"],
-                                                   pattern=r"[^\w\s]"),
-                          pa.int64())
-        n_stop = pc.cast(pc.count_substring_regex(
-            t["text"], pattern=r"(?i)\b(the|and|of|a|to|in|is|it|that|for)\b"),
-            pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "n_punct": n_punct,
-                         "n_stop": n_stop})
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -464,25 +447,54 @@ def q_curation_pipeline(sf_dir: str):
         batch_format="pyarrow", batch_size=None)
 
 
-def q_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
-    from logstash_filter_translate_ray.functions.similarity import lsh_topk
+def _query_vec(sf_dir: str) -> np.ndarray:
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
         .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
-    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_topk(ds, qv, k=10, n_planes=6, concurrency=2)[["vec_id"]]
+    return np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def _recall_gate(approx_ids, exact_ids, k: int, bound: float) -> pa.Table:
+    """Driver-VISIBLE accuracy gate for approximate top-k (VERDICT r3 #3):
+    the query computes the exact answer alongside and emits
+    (k, recall_ok). The oracle asserts the same constants, so a recall
+    regression below ``bound`` hash-mismatches in CORRECTNESS — no more
+    rows-only rows. (The raw recall value is deliberately NOT a column:
+    it is not SQL-derivable; the asserted bound is.)"""
+    n_hit = len(set(approx_ids) & set(exact_ids))
+    return pa.table({"k": pa.array([k], type=pa.int64()),
+                     "recall_ok": pa.array([n_hit >= bound * k])})
+
+
+def q_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate cosine top-k, gated vs the exact answer.
+    n_planes=3 probes 4 of 8 buckets (hamming-1) — measured 7/10 recall on
+    the RANDOM sf embeddings (LSH's worst case: near-orthogonal vectors);
+    the gate asserts ≥ 0.5. Deterministic (seeded planes) ⇒ stable row."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        brute_force_topk, lsh_topk)
+    qv = _query_vec(sf_dir)
+    approx = lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      qv, k=10, n_planes=3, concurrency=2)
+    exact = brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10)
+    return _recall_gate(approx["vec_id"].tolist(),
+                        exact["vec_id"].tolist(), k=10, bound=0.5)
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF approximate cosine top-k (rows-only: approximate)."""
-    from logstash_filter_translate_ray.functions.similarity import ivf_topk
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
-        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
-    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, qv, k=10, n_cells=16, n_probe=4,
-                    cache_key=os.path.join(sf_dir, "embeddings.parquet"))[["vec_id"]]
+    """IVF approximate cosine top-k (hash-sampled centroid build), gated vs
+    the exact answer: n_probe=4 of 16 cells, measured 7-8/10 recall on the
+    random sf embeddings; the gate asserts ≥ 0.5. Deterministic."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        brute_force_topk, ivf_topk)
+    qv = _query_vec(sf_dir)
+    approx = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      qv, k=10, n_cells=16, n_probe=4,
+                      cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+    exact = brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10)
+    return _recall_gate(approx["vec_id"].tolist(),
+                        exact["vec_id"].tolist(), k=10, bound=0.5)
 
 
 def q_winnow(sf_dir: str):
@@ -507,14 +519,6 @@ def q_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, type=pa.string())})
-
-
-def q_union_counts(sf_dir: str):
-    """Dataset union: events ∪ events → per-type counts double."""
-    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
-    a = _read(sf_dir, "events", ["event_type"])
-    b = _read(sf_dir, "events", ["event_type"])
-    return grouped_counts(a.union(b), ["event_type"], driver_merge=True)
 
 
 def q_tumbling_counts(sf_dir: str):
@@ -749,8 +753,11 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_embedding_neardup_lsh(sf_dir: str):
     """LSH-bucketed embedding near-dup — the 100 TB path (banded hyperplane
-    buckets, per-segment matmuls). Approximate by design ⇒ rows-only; the
-    ≥0.9-recall-vs-exact guarantee is pinned by
+    buckets, per-segment matmuls). Oracled against the EXACT pairs SQL:
+    with planes_per_table=2 × n_tables=16, P(missing a 0.4-cosine pair) ≈
+    3e-4 and the seeded planes are deterministic, so the result is
+    ID-exact on the sf tables (verified at sf0.001 and sf0.01); the
+    general ≥0.9-recall guarantee is pinned by
     tests/test_functions.py::test_embedding_neardup_lsh_recall."""
     from logstash_filter_translate_ray.functions.similarity import (
         embedding_neardup_pairs_lsh)
@@ -787,20 +794,27 @@ def q_multimodal_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # EXACTLY 50 entries — the driver's CORRECTNESS file caps at 50 rows
+    # (r3 registered 53 and the last three never got a row). The r3
+    # orphans (winnow, jaccard_pairs, ivf_topk) sit early in insertion
+    # order now so a future over-cap regression can't orphan them again.
     return {
         "translate_exact": q_translate_exact,
         "translate_exact_nofallback": q_translate_exact_nofallback,
         "translate_regex": q_translate_regex,
         "translate_union": q_translate_union,
         "translate_iterate_values": q_translate_iterate_values,
+        "winnow": q_winnow,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "route_counts": q_route_counts,
         "matched_counts": q_matched_counts,
         "parse_extract": q_parse_extract,
         "agg_value_by_type": q_agg_value_by_type,
-        "sort_limit": q_sort_limit,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
-        "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -817,7 +831,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers": q_zscore_outliers,
         "quantiles": q_quantiles,
         "event_paths": q_event_paths,
-        "lsh_topk": q_lsh_topk,
         "curation_pipeline": q_curation_pipeline,
         "embedding_neardup": q_embedding_neardup,
         "incremental_dedup": q_incremental_dedup,
@@ -827,7 +840,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,
         "split_counts": q_split_counts,
         "weighted_mix": q_weighted_mix,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
         "topk_users": q_topk_users,
@@ -837,10 +849,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event_gap": q_prev_event_gap,
         "session_counts": q_session_counts,
         "distinct_types": q_distinct_types,
-        "union_counts": q_union_counts,
-        "ivf_topk": q_ivf_topk,
-        "winnow": q_winnow,
-        "jaccard_pairs": q_jaccard_pairs,
     }
 
 
@@ -1023,19 +1031,12 @@ def oracle_sql() -> dict[str, str]:
         "agg_value_by_type":
             "SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
             "AS BIGINT) AS sum_cents FROM events GROUP BY event_type",
-        "sort_limit":
-            "SELECT event_id, value FROM events ORDER BY value DESC LIMIT 10",
         "dedup_exact":
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count":
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
             "AS n_tokens_bpe FROM documents",
-        "text_stats":
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct, "
-            "CAST(len(regexp_extract_all(lower(text), "
-            "'\\b(the|and|of|a|to|in|is|it|that|for)\\b')) AS BIGINT) AS n_stop "
-            "FROM documents",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id FROM embeddings e, q "
@@ -1052,6 +1053,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        # LSH path: deterministic seeded planes + P(miss/pair) ≈ 3e-4 make
+        # the approximate result ID-exact vs the same exact-pairs SQL on
+        # the sf tables (see q_embedding_neardup_lsh docstring)
+        "embedding_neardup_lsh":
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        # recall GATES: the Ray query computes exact-vs-approx recall and
+        # emits (k, recall_ok) — the driver hash checks the asserted bound
+        "lsh_topk":
+            "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+        "ivf_topk":
+            "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
         "events_pipeline":
             f"SELECT {route_case} AS route, {exact_case} AS label, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2",
@@ -1095,10 +1109,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM w a JOIN w b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9",
-        "union_counts":
-            "SELECT event_type, COUNT(*) AS n FROM "
-            "(SELECT event_type FROM events UNION ALL "
-            "SELECT event_type FROM events) GROUP BY event_type",
         "langid": _langid_sql(),
         "incremental_dedup":
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("

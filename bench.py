@@ -128,7 +128,7 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "translate_iterate_values", "route_counts",
                  "agg_value_by_type", "parse_extract", "dedup_exact",
                  "token_count", "langid", "fingerprint", "simhash",
-                 "ann_topk", "sort_limit", "tumbling_counts",
+                 "ann_topk", "topk_users", "tumbling_counts",
                  "session_counts", "events_pipeline",
                  "prev_event_gap", "event_paths", "zscore_outliers",
                  "vocab_topk", "winnow", "quality_scores",

@@ -133,6 +133,12 @@ class TranslateConfig:
         if self.override is None:
             self.override = False
 
+        # %{+date-format} sprintf is unsupported — reject at register time
+        # rather than mid-pipeline (sprintf.py check_no_timeformat)
+        if self.fallback is not None and "%{" in self.fallback:
+            from .sprintf import check_no_timeformat
+            check_no_timeformat(self.fallback)
+
         if self.refresh_behaviour not in ("merge", "replace"):
             raise ConfigurationError(
                 f"Unknown value for refresh_behaviour={self.refresh_behaviour}"

@@ -532,10 +532,53 @@ class MinHashStage:
 # candidate-pair generation inside hash-bucketed groups
 # ---------------------------------------------------------------------------
 
+def make_skip_counter():
+    """Cluster-wide counter for hot-bucket skips (``num_cpus=0`` — it costs
+    no scheduling slot). Pass the handle as ``skip_counter=`` to
+    :func:`bucket_candidate_pairs` /
+    :func:`~..similarity.embedding_neardup_pairs_lsh`; read totals after the
+    pipeline with ``ray.get(h.totals.remote())``. NO silent caps: even
+    without a counter, every skipping group logs a warning."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _SkipCounter:
+        def __init__(self):
+            self.buckets = 0
+            self.rows = 0
+
+        def add(self, buckets: int, rows: int) -> None:
+            self.buckets += buckets
+            self.rows += rows
+
+        def totals(self) -> dict:
+            return {"buckets": self.buckets, "rows": self.rows}
+
+    return _SkipCounter.remote()
+
+
+def _report_skips(where: str, hot_cap, skipped_buckets: int,
+                  skipped_rows: int, skip_counter) -> None:
+    """Surface hot-cap skips (VERDICT r3 #4): a degenerate bucket (template
+    text, all-zero vectors) silently costing recall is worse than the log
+    noise."""
+    if not skipped_buckets:
+        return
+    import logging
+    logging.getLogger(__name__).warning(
+        "%s: hot_cap=%s skipped %d bucket(s) totalling %d member rows — "
+        "pairs inside them were NOT generated (recall trade; pass "
+        "hot_cap=None to disable, skip_counter= to aggregate)",
+        where, hot_cap, skipped_buckets, skipped_rows)
+    if skip_counter is not None:
+        skip_counter.add.remote(skipped_buckets, skipped_rows)
+
+
 def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
                            hot_cap: Optional[int] = 200,
                            num_groups: int = 64,
-                           payload_col: Optional[str] = None):
+                           payload_col: Optional[str] = None,
+                           skip_counter=None):
     """(id_a < id_b) pairs sharing a ``bucket_col`` value. ONE shuffle on a
     hash-bucketed group key (``num_groups`` vectorized group calls total);
     inside a group, buckets are segments of a sort and pairs come from
@@ -572,11 +615,16 @@ def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
             ([True], buckets[1:] != buckets[:-1])))[0]
         ends = np.concatenate((starts[1:], [len(t)]))
         out_a, out_b, out_pa, out_pb = [], [], [], []
+        skipped_b = skipped_r = 0
         for s, e in zip(starts, ends):
             seg, seg_idx = np.unique(ids[s:e], return_index=True)
             m = len(seg)                       # a doc may collide into a
-            if m < 2 or (hot_cap is not None and m > hot_cap):
-                continue                       # bucket twice across bands
+            if m < 2:                          # bucket twice across bands
+                continue
+            if hot_cap is not None and m > hot_cap:
+                skipped_b += 1
+                skipped_r += m
+                continue
             iu, ju = np.triu_indices(m, 1)
             out_a.append(seg[iu])
             out_b.append(seg[ju])
@@ -584,6 +632,8 @@ def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
                 pl = payload[s:e][seg_idx]
                 out_pa.append(pl[iu])
                 out_pb.append(pl[ju])
+        _report_skips("bucket_candidate_pairs", hot_cap, skipped_b,
+                      skipped_r, skip_counter)
         if not out_a:
             return _empty()
         a = np.concatenate(out_a)
@@ -660,7 +710,7 @@ def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
                             k: int = 3, num_perm: int = 64, bands: int = 16,
                             concurrency: int = 4,
                             hot_cap: Optional[int] = 200,
-                            num_groups: int = 64):
+                            num_groups: int = 64, skip_counter=None):
     """Banded-LSH candidate pairs: (id_a, id_b) with id_a < id_b that share
     at least one band bucket (distinct — band-level duplicates removed by a
     native hash aggregate)."""
@@ -675,7 +725,8 @@ def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
         lambda t, _s=stage: _s(t),
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     pairs = bucket_candidate_pairs(banded, "bucket", id_col,
-                                   hot_cap=hot_cap, num_groups=num_groups)
+                                   hot_cap=hot_cap, num_groups=num_groups,
+                                   skip_counter=skip_counter)
     return distinct_pairs(pairs)
 
 
@@ -1034,7 +1085,8 @@ def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, bands: int = 4,
                   word_hash: str = "sip",
-                  hot_cap: Optional[int] = 1000, num_groups: int = 64):
+                  hot_cap: Optional[int] = 1000, num_groups: int = 64,
+                  skip_counter=None):
     """Near-duplicate pairs by SimHash banding: the 64-bit simhash splits
     into ``bands`` equal bit-bands; by pigeonhole a pair with hamming ≤
     ``bands - 1`` differing bits shares ≥1 EXACT band, so candidate recall
@@ -1067,7 +1119,8 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                                batch_size=None)
     pairs = bucket_candidate_pairs(exploded, "bucket", id_col,
                                    hot_cap=hot_cap, num_groups=num_groups,
-                                   payload_col="simhash")
+                                   payload_col="simhash",
+                                   skip_counter=skip_counter)
     pairs = distinct_pairs(pairs, carry=("pl_a", "pl_b"))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1114,7 +1167,8 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
                         concurrency: int = 4, sample_mod: int = 1,
                         hot_cap: Optional[int] = 200,
-                        num_groups: int = 64, num_partitions: int = 4):
+                        num_groups: int = 64, num_partitions: int = 4,
+                        skip_counter=None):
     """Candidate pairs sharing ≥1 (sampled) shingle, then DISTRIBUTED exact
     Jaccard (join-attached shingle sets) — returns a pandas frame
     (id_a, id_b, jaccard ≥ threshold); only the thresholded result reaches
@@ -1132,7 +1186,8 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     pairs = distinct_pairs(bucket_candidate_pairs(
         exploded, "shingle", id_col, hot_cap=hot_cap,
-        num_groups=num_groups)).materialize()   # pair list only (small)
+        num_groups=num_groups,
+        skip_counter=skip_counter)).materialize()  # pair list only (small)
     if pairs.count() == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

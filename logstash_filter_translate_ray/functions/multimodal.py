@@ -300,10 +300,17 @@ class ResizeStage:
             tbl = tbl.append_column("resized_width", pa.array(rw))
             tbl = tbl.append_column("resized_height", pa.array(rh))
             return tbl
-        tbl = tbl.append_column("resized_width",
-                                pa.array((w * scale).astype(np.int32)))
-        tbl = tbl.append_column("resized_height",
-                                pa.array((h * scale).astype(np.int32)))
+        # same non-finite guard as the real-codec branch: null dims come
+        # back as NaN, zero dims make scale inf — NaN/inf→int32 is
+        # platform-undefined garbage (typically INT32_MIN), so emit 0
+        rw = w * scale
+        rh = h * scale
+        tbl = tbl.append_column(
+            "resized_width",
+            pa.array(np.where(np.isfinite(rw), rw, 0).astype(np.int32)))
+        tbl = tbl.append_column(
+            "resized_height",
+            pa.array(np.where(np.isfinite(rh), rh, 0).astype(np.int32)))
         return tbl
 
 

@@ -43,8 +43,14 @@ def hash_sample(ds, col: str = "doc_id", fraction: float = 0.1,
                 buckets: int = DEFAULT_BUCKETS):
     """Deterministic ``fraction`` sample: keep rows whose id bucket falls
     below ``fraction × buckets``. Same row set every run; null ids never
-    sampled. Mirrors
-    ``WHERE md5_number_lower(CAST(col AS VARCHAR)) % buckets < cut``."""
+    sampled (md5 of NULL is NULL in the SQL mirror too). Mirrors
+    ``WHERE md5_number_lower(CAST(col AS VARCHAR)) % buckets < cut``.
+
+    ``fraction ≥ 1.0`` short-circuits to the UNfiltered dataset — "keep
+    everything" keeps null-id rows as well (a rate-1.0 part in
+    ``weighted_mix`` must be a no-op; its SQL mirror is the bare SELECT)."""
+    if fraction >= 1.0:
+        return ds
     cut = int(round(fraction * buckets))
 
     def fn(t: pa.Table) -> pa.Table:

@@ -90,7 +90,8 @@ def _pairs_from_scores(ids_a: np.ndarray, ids_b: np.ndarray,
 def embedding_neardup_pairs(ds, threshold: float = 0.9,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            max_blocks: int = 64):
+                            max_blocks: int = 64,
+                            as_dataset: bool = False):
     """EXACT embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     cosine ≥ threshold.
 
@@ -101,6 +102,11 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     O(N²) compute is inherent to exactness; at scale route through
     :func:`embedding_neardup_pairs_lsh` (same in-bucket kernel, candidate
     set shrunk by the banded LSH blocking).
+
+    ``as_dataset=True`` returns a (lazy-composable) ``ray.data.Dataset``
+    built straight from the result-block refs — the pair tables never land
+    on the driver, so downstream stages (dedup, CC, sinks) stream. The
+    default pandas return is for the small oracle-checked paths.
     """
     import ray
 
@@ -112,9 +118,13 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
         refs = sub.repartition(max_blocks).to_arrow_refs()
     if not refs:
         import pandas as pd
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if as_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
+        return empty
 
     @ray.remote
     def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
@@ -128,64 +138,117 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
 
     futures = [cross.remote(refs[i], refs[j], i == j)
                for i in range(len(refs)) for j in range(i, len(refs))]
+    if as_dataset:
+        import ray.data as rd
+        return rd.from_arrow_refs(futures)
     out = pa.concat_tables(ray.get(futures)).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _rowwise_sort_desc_tiebreak(s: np.ndarray, ids: np.ndarray,
+                                width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sort by (score DESC, id ASC), trimmed to ``width`` columns —
+    two stable argsorts (id pass then score pass), fully vectorized.
+    Identical scores (duplicate vectors) break to the smaller id, the same
+    ORDER BY cosine DESC, id ASC the SQL mirror uses."""
+    o1 = np.argsort(ids, axis=1, kind="stable")
+    s1 = np.take_along_axis(s, o1, axis=1)
+    i1 = np.take_along_axis(ids, o1, axis=1)
+    o2 = np.argsort(-s1, axis=1, kind="stable")[:, :width]
+    return (np.take_along_axis(s1, o2, axis=1),
+            np.take_along_axis(i1, o2, axis=1))
+
+
 def knn_join(ds, k: int = 3, vec_col: str = "embedding",
-             id_col: str = "vec_id", max_blocks: int = 64):
+             id_col: str = "vec_id", max_blocks: int = 64,
+             target_block_rows: int = 4096,
+             as_dataset: bool = False):
     """EXACT cosine k-NN join: for every vector, its k nearest OTHER
     vectors (the kNN-graph builder behind near-dup clustering and
     diversity sampling). Deterministic order: cosine DESC, neighbor id ASC.
 
-    Shape: one Ray task per row-block; each task streams the other blocks
-    out of the object store (refs — the driver never holds a matrix),
-    scores batch × all with float64 matmuls and keeps a running top-k per
-    row. O(N²) compute is inherent to exactness — at scale use the LSH
-    bucketing (:func:`embedding_neardup_pairs_lsh`) to build the graph
-    approximately. Returns a pandas frame (vec_id, nn_rank, neighbor_id).
+    Shape: one Ray task per row-block; each task pulls the other blocks
+    out of the object store ONE AT A TIME (nested refs — neither the
+    driver nor the task ever holds more than one other-block), scores
+    block × other-block with a float64 matmul and folds it into a RUNNING
+    per-row top-k. Peak task memory is O(block_rows × other_block_rows)
+    for the transient score matrix plus O(block_rows × k) for the running
+    state — NOT O(block_rows × N_total) (the r3 full-width concatenation
+    this replaces). O(N²) compute is inherent to exactness — at scale use
+    the LSH bucketing (:func:`embedding_neardup_pairs_lsh`) to build the
+    graph approximately.
+
+    Returns a pandas frame (vec_id, nn_rank, neighbor_id) by default;
+    ``as_dataset=True`` returns a Dataset built from the result-block refs
+    (N×k rows never land on the driver — the streaming path at scale).
     """
     import ray
 
     sub = ds.select_columns([id_col, vec_col]).materialize()
     refs = sub.to_arrow_refs()
-    if len(refs) > max_blocks:
+    # block width caps the transient score matrix at target_block_rows² ×
+    # 8 B per task (128 MB at the 4096 default) REGARDLESS of N — more
+    # rows means more blocks/tasks, never bigger matrices. max_blocks is
+    # only a floor on over-splitting tiny inputs.
+    n_total = sub.count()
+    desired = max(1, -(-n_total // target_block_rows))
+    if len(refs) > max(desired, max_blocks) or len(refs) < desired:
         # repartition the MATERIALIZED handle (see embedding_neardup_pairs)
-        refs = sub.repartition(max_blocks).to_arrow_refs()
+        refs = sub.repartition(desired).to_arrow_refs()
     import pandas as pd
     if not refs:
-        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                             "nn_rank": pd.Series([], dtype="int64"),
-                             "neighbor_id": pd.Series([], dtype="int64")})
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "nn_rank": pd.Series([], dtype="int64"),
+                              "neighbor_id": pd.Series([], dtype="int64")})
+        if as_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
+        return empty
 
     @ray.remote
-    def block_topk(ta: pa.Table, *others) -> pa.Table:
+    def block_topk(ta: pa.Table, other_refs: list) -> pa.Table:
         ma = _normalize(_batch_matrix(ta, vec_col).astype(np.float64))
         ids_a = ta[id_col].to_numpy(zero_copy_only=False)
-        scores = []
-        ids_b_all = []
-        for tb in others:
+        n = len(ma)
+        run_s = np.empty((n, 0), dtype=np.float64)
+        run_i = np.empty((n, 0), dtype=np.int64)
+        for ref in other_refs:
+            tb = ray.get(ref)                 # one other-block at a time
             mb = _normalize(_batch_matrix(tb, vec_col).astype(np.float64))
             ids_b = tb[id_col].to_numpy(zero_copy_only=False)
-            s = ma @ mb.T
+            # pre-sort COLUMNS by id (one 1-D sort) so a single stable
+            # per-row argsort of -s yields exact (score DESC, id ASC) —
+            # plain argpartition could drop an equal-score smaller id at
+            # the boundary and flip the final tie-break
+            o = np.argsort(ids_b, kind="stable")
+            ids_b = ids_b[o]
+            s = ma @ mb[o].T
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
-            scores.append(s)
-            ids_b_all.append(ids_b)
-        s_full = np.concatenate(scores, axis=1)
-        ids_full = np.concatenate(ids_b_all)
-        rows, ranks, nbrs = [], [], []
-        for r in range(len(ma)):
-            # ties (identical vectors) break to the smaller neighbor id —
-            # the same ORDER BY cosine DESC, id ASC the SQL mirror uses
-            order = np.lexsort((ids_full, -s_full[r]))[:k]
-            rows.extend([ids_a[r]] * len(order))
-            ranks.extend(range(1, len(order) + 1))
-            nbrs.extend(ids_full[order])
-        return pa.table({"vec_id": pa.array(rows, type=pa.int64()),
-                         "nn_rank": pa.array(ranks, type=pa.int64()),
-                         "neighbor_id": pa.array(nbrs, type=pa.int64())})
+            kk = min(k, s.shape[1])
+            part = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            run_s = np.concatenate(
+                [run_s, np.take_along_axis(s, part, axis=1)], axis=1)
+            run_i = np.concatenate([run_i, ids_b[part]], axis=1)
+            if run_s.shape[1] > k:            # fold: width stays ≤ 2k
+                run_s, run_i = _rowwise_sort_desc_tiebreak(run_s, run_i, k)
+        if run_s.shape[1] > k:
+            run_s, run_i = _rowwise_sort_desc_tiebreak(run_s, run_i, k)
+        valid = run_s > -np.inf               # self-only columns drop out
+        counts = valid.sum(axis=1)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ranks = np.arange(int(counts.sum())) - np.repeat(starts, counts) + 1
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids_a, counts), type=pa.int64()),
+            "nn_rank": pa.array(ranks, type=pa.int64()),
+            "neighbor_id": pa.array(run_i[valid], type=pa.int64())})
 
-    futures = [block_topk.remote(refs[i], *refs) for i in range(len(refs))]
+    # nested-list refs are NOT auto-dereferenced by Ray — each task fetches
+    # other blocks lazily inside its loop, so the object store can evict
+    others = list(refs)
+    futures = [block_topk.remote(refs[i], others) for i in range(len(refs))]
+    if as_dataset:
+        import ray.data as rd
+        return rd.from_arrow_refs(futures)
     out = pa.concat_tables(ray.get(futures)).to_pandas()
     return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
 
@@ -196,7 +259,7 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                 n_tables: int = 12,
                                 planes_per_table: int = 4,
                                 seed: int = 42, num_groups: int = 64,
-                                hot_cap: int = 8192):
+                                hot_cap: int = 8192, skip_counter=None):
     """Approximate near-dup pairs — the 100 TB path: banded random-
     hyperplane LSH. Each vector explodes into ``n_tables`` rows
     (table, bucket, id, normalized vec); pairs are scored ONLY inside a
@@ -265,14 +328,22 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
             ([True], buckets[1:] != buckets[:-1])))[0]
         ends = np.concatenate((starts[1:], [len(t)]))
         parts = []
+        skipped_b = skipped_r = 0
         for s, e in zip(starts, ends):
-            if e - s < 2 or e - s > hot_cap:
+            if e - s < 2:
+                continue
+            if hot_cap is not None and e - s > hot_cap:
+                skipped_b += 1
+                skipped_r += e - s
                 continue
             seg_ids = ids[s:e]
             seg_m = m[s:e]
             parts.append(_pairs_from_scores(seg_ids, seg_ids,
                                             seg_m @ seg_m.T, threshold,
                                             upper_only=True))
+        from .dedup import _report_skips
+        _report_skips("embedding_neardup_pairs_lsh", hot_cap, skipped_b,
+                      skipped_r, skip_counter)
         return pa.concat_tables(parts) if parts else empty
 
     # task pool: the lazily-built plane matrix is seeded + deterministic,
@@ -289,6 +360,10 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     # native multi-key max-agg is ~30× slower per distinct_pairs note)
     from .dedup import distinct_pairs
     out = distinct_pairs(pairs, carry=("cosine",)).to_pandas()
+    if "id_a" not in out.columns:      # zero groups → schema-less empty df
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -327,25 +402,60 @@ def _ivf_cache_sig(cache_key: str) -> tuple:
         return (cache_key,)
 
 
+def _centroid_sample(ds, sample_n: int, id_col: str, vec_col: str):
+    """Deterministic ORDER-INDEPENDENT sample for centroid training: rows
+    whose md5-bucketed id falls under the sample fraction (the same
+    row-local rule as ``functions.sampling``), sorted by (bucket, id) and
+    trimmed to ``sample_n``. Unlike the previous ``ds.limit(sample_n)``
+    (first-N rows — one stratum on source/time-ordered data), membership
+    does not depend on row order, block layout or which node reads first,
+    so centroids are reproducible across repartitions and cluster sizes."""
+    from .sampling import md5_bucket_array
+
+    total = ds.count()
+    if total <= sample_n:
+        df = ds.to_pandas()
+        b = md5_bucket_array(pa.array(df[id_col]))
+        return df.iloc[np.lexsort((df[id_col].to_numpy(), b))]
+    # 30% overshoot: Binomial(total, frac) lands under sample_n with
+    # negligible probability at sample_n ≥ a few hundred; trim after sort
+    frac = min(1.0, sample_n / total * 1.3)
+    buckets = 10_000
+    cut = max(1, int(round(frac * buckets)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = md5_bucket_array(t[id_col], buckets)
+        t = t.filter(pa.array(b < cut))
+        return t
+
+    df = ds.map_batches(keep, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    b = md5_bucket_array(pa.array(df[id_col]), buckets)
+    return df.iloc[np.lexsort((df[id_col].to_numpy(), b))].head(sample_n)
+
+
 def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
                         iters: int = 10, seed: int = 42,
                         vec_col: str = "embedding",
+                        id_col: str = "vec_id",
                         cache_key: Optional[str] = None) -> np.ndarray:
-    """Driver-side k-means on a seeded sample → IVF coarse centroids.
+    """Driver-side k-means on a deterministic hash sample → IVF coarse
+    centroids.
 
-    The sample (≤ sample_n rows) is the only data pulled to the driver;
-    Lloyd iterations are numpy matmuls. Deterministic (seeded init, no
-    wall-clock). Pass ``cache_key`` (a dataset fingerprint — e.g. its
-    source path) to persist centroids in-process: repeated ``ivf_topk``
-    calls against the same dataset skip both the sample pull and the
-    k-means pass entirely."""
+    The sample (≤ sample_n rows, md5-bucket rule — see
+    :func:`_centroid_sample`) is the only data pulled to the driver; Lloyd
+    iterations are numpy matmuls. Deterministic AND order-independent
+    (seeded init, no wall-clock, no first-N bias). Pass ``cache_key`` (a
+    dataset fingerprint — e.g. its source path) to persist centroids
+    in-process: repeated ``ivf_topk`` calls against the same dataset skip
+    both the sample pull and the k-means pass entirely."""
     if cache_key is not None:
         ck = _ivf_cache_sig(cache_key) + (n_cells, sample_n, iters, seed,
                                           vec_col)
         hit = _IVF_CENTROID_CACHE.get(ck)
         if hit is not None:
             return hit
-    sample = ds.limit(sample_n).to_pandas()
+    sample = _centroid_sample(ds, sample_n, id_col, vec_col)
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
@@ -379,7 +489,7 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_cells: int = 16,
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     qn = _normalize(q)
     cent = build_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col,
-                               cache_key=cache_key)
+                               id_col=id_col, cache_key=cache_key)
     cent_ref = ray.put(cent)
     probe_cells = set(np.argsort(-(qn @ cent.T))[0][:n_probe].tolist())
     probe_ref = ray.put(probe_cells)

@@ -368,14 +368,31 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
     if s.get("output", {}).get("path"):
         # the spec's own sink: write the POST-CLAUSE result (or the routed
         # union when there are no global clauses) — a derived artifact of
-        # the checkpointed shard outputs, recomputed cheaply on resume
+        # the checkpointed shard outputs, recomputed cheaply on resume.
+        # write_parquet APPENDS uniquely-named files, so a re-submitted
+        # command (the advertised resume flow) would duplicate every row in
+        # the sink; write to a tmp sibling and SWAP instead (the same
+        # pattern as CheckpointStore.finish_shard) so the sink always holds
+        # exactly one run's rows
         final_ds = result if result is not None else (
             rd.read_parquet(shard_parquet) if shard_parquet else None)
         if final_ds is not None:
             if not hasattr(final_ds, "write_parquet"):
                 import pandas as _pd
                 final_ds = rd.from_pandas(final_ds)
-            final_ds.write_parquet(s["output"]["path"])
+            import shutil as _shutil
+            outp = s["output"]["path"].rstrip("/")
+            if os.path.exists(outp) and not os.path.isdir(outp):
+                raise ConfigurationError(
+                    f"spec output.path {outp!r} exists and is not a "
+                    "directory")
+            tmp = outp + ".inprogress"
+            _shutil.rmtree(tmp, ignore_errors=True)
+            final_ds.write_parquet(tmp)
+            # window between rmtree and replace: tmp still holds the full
+            # result; a re-run regenerates — no partial/duplicated sink
+            _shutil.rmtree(outp, ignore_errors=True)
+            os.replace(tmp, outp)
             out_info["output_path"] = s["output"]["path"]
     return {"shards_run": ran, "shards_skipped": skipped,
             "rows_out": sum(m.rows_out for m in manifests),

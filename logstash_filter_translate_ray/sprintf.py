@@ -11,7 +11,13 @@ the plugin exercises):
 - An unresolvable reference renders as the literal ``%{ref}`` text.
 - Text with no ``%{`` is returned as-is (the common static-fallback case).
 
-``%{+date-format}`` sprintf is out of scope (never used by the plugin's specs).
+``%{+date-format}`` sprintf (Logstash formats @timestamp with a Joda
+pattern — StringInterpolation's DateFormatCoercer) is REJECTED LOUDLY: the
+plugin's own specs never use it, this engine's fixed-schema events have no
+@timestamp convention, and silently rendering the pattern as literal text
+(the pre-r4 behavior) masked the divergence. A template containing
+``%{+...}`` raises :class:`ConfigurationError` at first use (and at config
+validation for fallback templates).
 
 Two implementations: a row version for the oracle, and a column compiler
 that turns a template into a vectorized Arrow expression over a batch
@@ -33,6 +39,21 @@ from .fieldref import event_get, event_include
 _REF = re.compile(r"%\{([^}]+)\}")
 
 
+def check_no_timeformat(template: str) -> None:
+    """Raise on the unsupported ``%{+date-format}`` interpolation form
+    (reference: single_value_update.rb:43 passes fallback through
+    event.sprintf, whose ``+``-prefixed refs are Joda date patterns over
+    @timestamp). Rejecting beats the old render-as-literal silent path."""
+    for m in _REF.finditer(template):
+        if m.group(1).startswith("+"):
+            from .errors import ConfigurationError
+            raise ConfigurationError(
+                f"sprintf template {template!r}: %{{+...}} date-format "
+                "interpolation (Logstash @timestamp/Joda) is not supported "
+                "by this engine — use a plain %{field} reference or a "
+                "static string")
+
+
 def _to_s(value: Any) -> str:
     """Ruby-ish to_s for interpolated values."""
     if value is None:
@@ -48,6 +69,7 @@ def sprintf_row(template: str, event: dict) -> str:
     """Row-oriented event.sprintf."""
     if "%{" not in template:
         return template
+    check_no_timeformat(template)
 
     def repl(m: re.Match) -> str:
         ref = m.group(1)
@@ -74,6 +96,7 @@ def sprintf_column(template: str, tbl: pa.Table) -> pa.Array:
     n = len(tbl)
     if is_static(template):
         return pa.array(np.full(n, template, dtype=object), type=pa.string())
+    check_no_timeformat(template)
 
     from .kernel import resolve_path_column  # nested refs: %{[meta][code]}
 

@@ -103,8 +103,24 @@ def _cents(col) -> "pa.Array":
                             round_mode="half_towards_infinity"), pa.int64())
 
 
+def _quantiles_from_hist(cents_sorted, cum, qs: "tuple[float, ...]") -> dict:
+    """quantile_disc rule off a cumulative histogram: the sorted multiset's
+    element at index ceil(q·n)−1."""
+    import math
+
+    import numpy as np
+    n = int(cum[-1])
+    row = {}
+    for q in qs:
+        target = max(math.ceil(q * n), 1)
+        row[f"p{int(round(q * 100))}"] = int(
+            cents_sorted[np.searchsorted(cum, target)])
+    return row
+
+
 def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
-                      qs: "tuple[float, ...]" = (0.5, 0.95, 0.99)):
+                      qs: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+                      driver_partial_rows_max: int = 2_000_000):
     """EXACT per-key discrete quantiles (p50/p95/p99 — the log-latency
     staple) over integer cents, shuffle-light: each batch pre-aggregates a
     (key, cents, cnt) HISTOGRAM partial (bounded by the block's distinct
@@ -112,39 +128,70 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
     the quantiles come off the merged histogram — no global sort, no
     whole-column materialization. Quantile rule = the sorted multiset's
     element at index ceil(q·n)−1, exactly DuckDB ``quantile_disc``.
-    Returns a small pandas frame (key, p50, p95, ... as int cents)."""
-    import math
 
+    Null semantics match ``quantile_disc``: null VALUES are ignored, a null
+    GROUP KEY is a real group (pandas merges run dropna=False).
+
+    Merge path by partial size: ≤ ``driver_partial_rows_max`` partial rows
+    (the bounded-cents-domain common case) merge on the driver with one
+    pandas groupby and return a small pandas frame; above it — an
+    unbounded value domain where the histogram itself is big — the merge
+    is a distributed ``groupby(key).map_groups`` and a Dataset streams
+    back instead (the guard VERDICT r3 #9 asked for)."""
     import numpy as np
+    import pandas as pd
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        sub = pa.table({key: t[key], "cents": _cents(t[val])})
+        cents = _cents(t[val])
+        sub = pa.table({key: t[key], "cents": cents}) \
+            .filter(pc.is_valid(cents))        # quantile_disc ignores NULLs
         return sub.group_by([key, "cents"]).aggregate([([], "count_all")]) \
             .rename_columns([key, "cents", "cnt"])
 
     # partials are Σ-distinct-cents-per-block rows — the heavy reduction
-    # happens inside map_batches; the driver merge is a pandas groupby over
-    # that bounded histogram (measured: the Ray two-key sort-shuffle merge
-    # cost seconds of fixed orchestration for 28 ms of actual merge work).
-    # Swap for .groupby([key,"cents"]).sum("cnt") if the cents domain ever
-    # outgrows the driver (bounded-domain integers: it doesn't).
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    hist = parts.groupby([key, "cents"], as_index=False)["cnt"].sum() \
-        .sort_values([key, "cents"])
+    # happens inside map_batches; materialize them ONCE so the size check
+    # and the chosen merge don't re-execute the scan
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    if parts_ds.count() > driver_partial_rows_max:
+        # distributed fallback: one shuffle on the group key; each group's
+        # histogram merge + quantile extraction runs in a worker. Ray's
+        # sort-shuffle groupby can't order null keys — string keys get the
+        # NULL_LABEL sentinel here (matching grouped_counts' convention);
+        # other key types keep their nulls out of this path's contract.
+        def fill_key(t: pa.Table) -> pa.Table:
+            col = t[key]
+            if pa.types.is_string(col.type) \
+                    or pa.types.is_large_string(col.type):
+                t = t.set_column(t.column_names.index(key), key,
+                                 pc.fill_null(col, NULL_LABEL))
+            return t
+
+        parts_ds = parts_ds.map_batches(fill_key, batch_format="pyarrow",
+                                        batch_size=None)
+
+        def per_key(t: pa.Table) -> pd.DataFrame:
+            g = t.to_pandas().groupby("cents", as_index=False)["cnt"].sum() \
+                .sort_values("cents")
+            row = {key: t[key][0].as_py(),
+                   **_quantiles_from_hist(g["cents"].to_numpy(),
+                                          g["cnt"].cumsum().to_numpy(), qs)}
+            return pd.DataFrame([row])
+
+        return parts_ds.groupby(key).map_groups(per_key,
+                                                batch_format="pyarrow")
+    parts = parts_ds.to_pandas()
+    # dropna=False: a null group key must survive the merge like the
+    # quantile_disc oracle's NULL group (null cents are already filtered)
+    hist = parts.groupby([key, "cents"], as_index=False, dropna=False)["cnt"] \
+        .sum().sort_values([key, "cents"])
     out_rows = []
-    for k, g in hist.groupby(key, sort=True):
-        cum = g["cnt"].cumsum().to_numpy()
-        n = int(cum[-1])
-        cents_sorted = g["cents"].to_numpy()
-        row = {key: k}
-        for q in qs:
-            target = max(math.ceil(q * n), 1)
-            row[f"p{int(round(q * 100))}"] = int(
-                cents_sorted[np.searchsorted(cum, target)])
+    for k, g in hist.groupby(key, sort=True, dropna=False):
+        row = {key: k,
+               **_quantiles_from_hist(g["cents"].to_numpy(),
+                                      g["cnt"].cumsum().to_numpy(), qs)}
         out_rows.append(row)
-    import pandas as pd
     return pd.DataFrame(out_rows)
 
 

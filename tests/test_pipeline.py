@@ -725,6 +725,12 @@ def test_run_spec_resumable_output_and_stale_manifests(ray_session, tmp_path):
     # dedup applied ACROSS shards before the sink: one 'same' survives
     assert sorted(written["text"]) == ["same", "uniq0", "uniq1"]
     assert res["rows_out"] == 4          # routed (pre-dedup) shard rows
+    # re-submitting (the advertised resume flow) must NOT duplicate sink
+    # rows: the final write is tmp+swap, not append (ADVICE r4)
+    res_again = run_spec_resumable(spec, out, shard_files=1)
+    assert res_again["shards_run"] == 0
+    rewritten = pq.read_table(sink).to_pandas()
+    assert sorted(rewritten["text"]) == ["same", "uniq0", "uniq1"]
     # shrink the input → rerun must refuse the stale manifest
     os.remove(str(src / "p1.parquet"))
     import pytest as _pytest

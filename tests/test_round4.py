@@ -1,0 +1,248 @@
+"""Round-4 review fixes: knn_join bounded-memory kernel + streaming
+returns, hot-cap skip counters, order-independent IVF centroid samples,
+grouped_quantiles null/distributed guards, sampling fraction-1.0, resize
+metadata NaN guard, %{+timeformat} sprintf reject, DictionaryService
+cross-handle consistency."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_translate_ray.functions import dedup, similarity
+
+
+def _rand_emb(n: int, dim: int = 16, seed: int = 7, dups: int = 0):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim)
+    for i in range(dups):          # identical vectors → score ties
+        m[n - 1 - i] = m[i]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offs, pa.array(m.reshape(-1)))
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "embedding": emb}), m
+
+
+def _knn_reference(m: np.ndarray, k: int) -> pd.DataFrame:
+    """O(N²) numpy oracle with the (cosine DESC, id ASC) tie rule."""
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    rows = []
+    for i in range(len(m)):
+        order = np.lexsort((np.arange(len(m)), -s[i]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((i, r, int(j)))
+    return pd.DataFrame(rows, columns=["vec_id", "nn_rank", "neighbor_id"])
+
+
+def test_knn_join_multiblock_matches_reference(ray_session):
+    """Tiny target_block_rows forces the running per-block top-k merge
+    (the r4 bounded-memory kernel) through many fold steps; ties from
+    duplicated vectors must break to the smaller neighbor id."""
+    import ray.data as rd
+    tbl, m = _rand_emb(200, dups=5)
+    got = similarity.knn_join(rd.from_arrow(tbl), k=4, target_block_rows=16)
+    want = _knn_reference(m, k=4)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        want.astype("int64"))
+
+
+def test_knn_join_as_dataset_streams(ray_session):
+    """as_dataset=True returns a Dataset built from the result refs (no
+    driver concat) with the same rows as the pandas path."""
+    import ray.data as rd
+    tbl, m = _rand_emb(120)
+    ds_out = similarity.knn_join(rd.from_arrow(tbl), k=3,
+                                 target_block_rows=32, as_dataset=True)
+    import ray.data
+    assert isinstance(ds_out, ray.data.Dataset)
+    got = ds_out.to_pandas().sort_values(["vec_id", "nn_rank"]) \
+        .reset_index(drop=True)
+    want = similarity.knn_join(rd.from_arrow(tbl), k=3,
+                               target_block_rows=32)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_embedding_neardup_as_dataset_matches(ray_session):
+    import ray.data as rd
+    tbl, m = _rand_emb(100, dups=3)
+    want = similarity.embedding_neardup_pairs(rd.from_arrow(tbl),
+                                              threshold=0.8)
+    ds_out = similarity.embedding_neardup_pairs(rd.from_arrow(tbl),
+                                                threshold=0.8,
+                                                as_dataset=True)
+    got = ds_out.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id_a", "id_b"]].astype("int64"),
+                                  want[["id_a", "id_b"]].astype("int64"))
+
+
+def test_bucket_candidate_pairs_skip_counter(ray_session):
+    """hot_cap skips are no longer silent: the counter actor receives the
+    skipped bucket/row totals (VERDICT r3 #4)."""
+    import ray
+    import ray.data as rd
+    tbl = pa.table({"doc_id": pa.array(np.arange(10, dtype=np.int64)),
+                    "bucket": pa.array(np.zeros(10, dtype=np.int64))})
+    ctr = dedup.make_skip_counter()
+    out = dedup.bucket_candidate_pairs(rd.from_arrow(tbl), "bucket",
+                                       "doc_id", hot_cap=4,
+                                       skip_counter=ctr).to_pandas()
+    assert len(out) == 0                     # the one bucket was hot
+    totals = ray.get(ctr.totals.remote())
+    assert totals["buckets"] == 1 and totals["rows"] == 10
+    # and with the cap off, the pairs come back
+    out2 = dedup.bucket_candidate_pairs(rd.from_arrow(tbl), "bucket",
+                                        "doc_id", hot_cap=None).to_pandas()
+    assert len(out2) == 45
+
+
+def test_embedding_lsh_skip_counter(ray_session):
+    import ray
+    import ray.data as rd
+    tbl, _ = _rand_emb(60)
+    ctr = dedup.make_skip_counter()
+    # hot_cap=1 skips every bucket with ≥2 members → zero pairs, counted
+    out = similarity.embedding_neardup_pairs_lsh(
+        rd.from_arrow(tbl), threshold=-1.0, n_tables=1,
+        planes_per_table=1, hot_cap=1, skip_counter=ctr)
+    assert len(out) == 0
+    totals = ray.get(ctr.totals.remote())
+    assert totals["buckets"] >= 1 and totals["rows"] >= 2
+
+
+def test_ivf_centroids_order_independent(ray_session):
+    """The hash-sample centroid build must not depend on row order
+    (VERDICT r3 #5 — ds.limit() sampled one stratum)."""
+    import ray.data as rd
+    tbl, m = _rand_emb(400)
+    perm = np.random.RandomState(3).permutation(400)
+    shuffled = tbl.take(pa.array(perm))
+    c1 = similarity.build_ivf_centroids(rd.from_arrow(tbl), n_cells=8,
+                                        sample_n=128)
+    c2 = similarity.build_ivf_centroids(rd.from_arrow(shuffled), n_cells=8,
+                                        sample_n=128)
+    assert np.allclose(c1, c2)
+
+
+def test_grouped_quantiles_null_group_kept(ray_session):
+    """A null group KEY survives (quantile_disc keeps the NULL group);
+    null VALUES are ignored within a group (ADVICE r3)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    tbl = pa.table({
+        "event_type": ["a", "a", None, None, "a", None],
+        "value": [1.0, 2.0, 5.0, 7.0, None, None],
+    })
+    out = grouped_quantiles(rd.from_arrow(tbl), qs=(0.5,))
+    out = out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+    assert len(out) == 2
+    # group 'a': values {100, 200} (null value ignored) → p50 = 100
+    assert out.loc[0, "event_type"] == "a" and out.loc[0, "p50"] == 100
+    # null group: values {500, 700} → p50 = 500
+    assert pd.isna(out.loc[1, "event_type"]) and out.loc[1, "p50"] == 500
+
+
+def test_grouped_quantiles_distributed_fallback(ray_session, sf_dir):
+    """Forcing the partial-row threshold to 0 routes the merge through the
+    distributed groupby path; values must equal the driver merge
+    (VERDICT r3 #9)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    driver = grouped_quantiles(ds) \
+        .sort_values("event_type").reset_index(drop=True)
+    fb = grouped_quantiles(ds, driver_partial_rows_max=0)
+    import ray.data
+    assert isinstance(fb, ray.data.Dataset)
+    fb = fb.to_pandas().sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fb[driver.columns], driver,
+                                  check_dtype=False)
+
+
+def test_hash_sample_fraction_one_keeps_nulls(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.sampling import (
+        hash_sample, weighted_mix)
+    tbl = pa.table({"doc_id": pa.array([1, 2, None, 4], type=pa.int64())})
+    assert hash_sample(rd.from_arrow(tbl), fraction=1.0).count() == 4
+    # a rate-1.0 part in weighted_mix is a true no-op
+    mixed = weighted_mix([(rd.from_arrow(tbl), 1.0)])
+    assert mixed.count() == 4
+
+
+def test_resize_metadata_path_null_dims(ray_session):
+    """Null/zero metadata dims must yield 0, never NaN→int32 garbage
+    (ADVICE r3 — the guard now covers the metadata-only branch too)."""
+    from logstash_filter_translate_ray.functions.multimodal import (
+        ResizeStage)
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([b"x", b"y", b"z"], type=pa.binary()),
+        "media_type": pa.array(["image"] * 3),
+        "width": pa.array([None, 0, 100], type=pa.int32()),
+        "height": pa.array([50, 0, 200], type=pa.int32()),
+        "sample_rate": pa.nulls(3, pa.int32()),
+    })
+    out = ResizeStage(max_side=64)(tbl)
+    assert out["resized_width"].to_pylist() == [0, 0, 32]
+    assert out["resized_height"].to_pylist() == [0, 0, 64]
+
+
+def test_sprintf_timeformat_rejected():
+    """%{+...} (Logstash @timestamp Joda formatting) is rejected loudly —
+    at row/column sprintf AND at config validation (VERDICT r3 #7)."""
+    from logstash_filter_translate_ray.config import TranslateConfig
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    from logstash_filter_translate_ray.sprintf import (sprintf_column,
+                                                       sprintf_row)
+    with pytest.raises(ConfigurationError, match="date-format"):
+        sprintf_row("ts=%{+yyyy-MM-dd}", {"a": 1})
+    with pytest.raises(ConfigurationError, match="date-format"):
+        sprintf_column("ts=%{+yyyy-MM-dd}",
+                       pa.table({"a": pa.array(["x"])}))
+    with pytest.raises(ConfigurationError, match="date-format"):
+        TranslateConfig(source="a", dictionary={"k": "v"},
+                        fallback="no hit at %{+HH:mm}")
+    # the supported subset is untouched
+    assert sprintf_row("v=%{a}", {"a": 7}) == "v=7"
+    assert sprintf_column("v=%{a}", pa.table({"a": pa.array(["x"])})) \
+        .to_pylist() == ["v=x"]
+    cfg = TranslateConfig(source="a", dictionary={"k": "v"},
+                          fallback="missed %{a}")
+    assert cfg.fallback == "missed %{a}"
+
+
+def test_dictionary_service_cross_handle_consistency(ray_session, tmp_path):
+    """Two get-or-create handles under the same name resolve to ONE actor
+    (fixed namespace) and see the same version stream — the multi-pipeline
+    sharing contract (VERDICT r3 #8)."""
+    import ray
+    from logstash_filter_translate_ray.state import (
+        get_or_create_dictionary_service)
+    p = tmp_path / "d.csv"
+    p.write_text("a,1\n")
+    name = "r4-shared-service"
+    h1 = get_or_create_dictionary_service(name, path=str(p),
+                                          refresh_interval=-1,
+                                          background_refresh=False)
+    h2 = get_or_create_dictionary_service(name, path=str(p),
+                                          refresh_interval=-1,
+                                          background_refresh=False)
+    v1 = ray.get(h1.version.remote())
+    # bump through handle 1; handle 2 must observe the new version AND the
+    # new snapshot content
+    p.write_text("a,1\nb,2\n")
+    v_new = ray.get(h1.refresh.remote(force=True))
+    assert v_new == v1 + 1
+    assert ray.get(h2.version.remote()) == v_new
+    snap = ray.get(h2.get_snapshot.remote())
+    assert snap.map.get("b") == "2"
+    ray.kill(h1)
