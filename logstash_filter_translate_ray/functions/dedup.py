@@ -937,7 +937,8 @@ _CC_DRIVER_MAX_PAIRS = 1_000_000   # verified-pair count above which the
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   k: int = 3, num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.8, concurrency: int = 4,
-                  num_partitions: int = 4, cc: str = "auto"):
+                  num_partitions: int = 4, cc: str = "auto",
+                  skip_counter=None):
     """Full near-dup pipeline: LSH candidates → distributed Jaccard verify
     (join-attached shingle sets, see :func:`verified_jaccard_pairs`) →
     keep min-id per component. Returns (deduped_dataset, dropped_ids).
@@ -955,7 +956,8 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
     # materialize the PAIR LIST (small by construction) so the empty case is
     # detectable and the join doesn't recompute the LSH pipeline
     cand = minhash_candidate_pairs(ds, col, id_col, k, num_perm, bands,
-                                   concurrency).materialize()
+                                   concurrency,
+                                   skip_counter=skip_counter).materialize()
     if cand.count() == 0:
         return ds, ([] if cc != "distributed" else cand)
     ver_ds = verified_jaccard_pairs(cand, ds, col, id_col, k, num_partitions)

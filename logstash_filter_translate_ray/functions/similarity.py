@@ -216,23 +216,41 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             tb = ray.get(ref)                 # one other-block at a time
             mb = _normalize(_batch_matrix(tb, vec_col).astype(np.float64))
             ids_b = tb[id_col].to_numpy(zero_copy_only=False)
-            # pre-sort COLUMNS by id (one 1-D sort) so a single stable
-            # per-row argsort of -s yields exact (score DESC, id ASC) —
-            # plain argpartition could drop an equal-score smaller id at
-            # the boundary and flip the final tie-break
+            # COLUMNS pre-sorted by id (one 1-D sort): boundary score ties
+            # then resolve to the smallest ids by taking the FIRST equal
+            # columns — no O(B log B) per-row argsort anywhere in the
+            # block pass (the 200k probe spent 3× the matmul time there)
             o = np.argsort(ids_b, kind="stable")
             ids_b = ids_b[o]
             s = ma @ mb[o].T
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
-            kk = min(k, s.shape[1])
-            part = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            B = s.shape[1]
+            kk = min(k, B)
+            if kk == B:
+                sel = np.broadcast_to(np.arange(B), s.shape).copy()
+            else:
+                # top-kk SET by score via O(B) argpartition; rows whose
+                # kth-score tie straddles the boundary get an exact
+                # (score, id) fix-up — rare except for duplicate vectors
+                kth = np.partition(s, B - kk, axis=1)[:, B - kk]
+                sel = np.argpartition(s, B - kk, axis=1)[:, B - kk:]
+                n_gt = (s > kth[:, None]).sum(axis=1)
+                n_eq = (s == kth[:, None]).sum(axis=1)
+                for r in np.nonzero(n_gt + n_eq > kk)[0]:
+                    gt = np.nonzero(s[r] > kth[r])[0]
+                    eq = np.nonzero(s[r] == kth[r])[0][: kk - len(gt)]
+                    sel[r] = np.concatenate([gt, eq])
             run_s = np.concatenate(
-                [run_s, np.take_along_axis(s, part, axis=1)], axis=1)
-            run_i = np.concatenate([run_i, ids_b[part]], axis=1)
-            if run_s.shape[1] > k:            # fold: width stays ≤ 2k
+                [run_s, np.take_along_axis(s, sel, axis=1)], axis=1)
+            run_i = np.concatenate([run_i, ids_b[sel]], axis=1)
+            if run_s.shape[1] > 4 * k:        # fold: width stays ≤ 5k
                 run_s, run_i = _rowwise_sort_desc_tiebreak(run_s, run_i, k)
-        if run_s.shape[1] > k:
-            run_s, run_i = _rowwise_sort_desc_tiebreak(run_s, run_i, k)
+        # ALWAYS final-sort: per-block candidate sets are unordered, and a
+        # run whose total width never exceeded the fold trigger (N ≤ 4k
+        # across several blocks) must still emit ranks in (score DESC,
+        # id ASC) order
+        run_s, run_i = _rowwise_sort_desc_tiebreak(
+            run_s, run_i, min(k, run_s.shape[1]))
         valid = run_s > -np.inf               # self-only columns drop out
         counts = valid.sum(axis=1)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

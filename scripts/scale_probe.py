@@ -150,12 +150,41 @@ def main_embeddings(n_vecs: int) -> None:
     top = ivf_topk(read(), q, k=10, n_cells=64, n_probe=8,
                    cache_key=corpus)
     t_ivf = time.perf_counter() - t0
+
+    # exact kNN join at full N — evidence for the r4 bounded-memory kernel:
+    # per-task transient is target_block_rows² × 8 B (fixed, N-independent);
+    # the r3 full-width design needed block × N × 8 B per task, which at
+    # this N × default concurrency would not fit the box. Streaming return
+    # (as_dataset) keeps the N×k result off the driver; correctness signal:
+    # every planted near-dup (cosine ≈ 0.999 to its source) must have a
+    # rank-1 neighbor at cosine ≥ 0.98.
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+    tbr = 4096
+    t0 = time.perf_counter()
+    knn_ds = knn_join(read(), k=5, target_block_rows=tbr, as_dataset=True)
+    top1 = knn_ds.filter(expr="nn_rank == 1").to_pandas()
+    t_knn = time.perf_counter() - t0
+    full = pq.read_table(corpus)
+    m = np.asarray(full["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(n_vecs, -1)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    t1 = top1.sort_values("vec_id").set_index("vec_id")
+    planted = np.arange(n_vecs - n_dups, n_vecs)
+    nb = t1.loc[planted, "neighbor_id"].to_numpy()
+    cos = np.einsum("ij,ij->i", m[planted], m[nb])
+    knn_planted_ok = int((cos >= 0.98).sum())
+
     print(json.dumps({
         "n_vecs": n_vecs, "planted_dups": n_dups,
         "lsh_neardup_sec": round(t_lsh, 2),
         "lsh_pairs": int(len(pairs)), "planted_found": found_dups,
         "recall_planted": round(found_dups / max(n_dups, 1), 4),
         "ivf_topk_sec": round(t_ivf, 2), "ivf_rows": int(len(top)),
+        "knn_join_sec": round(t_knn, 2),
+        "knn_rows_rank1": int(len(top1)),
+        "knn_planted_top1_ok": knn_planted_ok,
+        "knn_task_peak_mb": round(tbr * tbr * 8 / 1e6, 1),
+        "knn_r3_design_task_mb": round(tbr * n_vecs * 8 / 1e6, 1),
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}))
     ray.shutdown()
 

@@ -30,7 +30,8 @@ def _knn_reference(m: np.ndarray, k: int) -> pd.DataFrame:
     np.fill_diagonal(s, -np.inf)
     rows = []
     for i in range(len(m)):
-        order = np.lexsort((np.arange(len(m)), -s[i]))[:k]
+        order = [j for j in np.lexsort((np.arange(len(m)), -s[i]))[:k]
+                 if np.isfinite(s[i, j])]       # self never a neighbor
         for r, j in enumerate(order, 1):
             rows.append((i, r, int(j)))
     return pd.DataFrame(rows, columns=["vec_id", "nn_rank", "neighbor_id"])
@@ -47,6 +48,18 @@ def test_knn_join_multiblock_matches_reference(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"),
         want.astype("int64"))
+
+
+def test_knn_join_small_n_multiblock_rank_order(ray_session):
+    """N ≤ k split across several blocks: the running width never exceeds
+    the fold trigger, so only the unconditional final sort keeps ranks in
+    (score DESC, id ASC) order."""
+    import ray.data as rd
+    tbl, m = _rand_emb(4, dups=1)
+    got = similarity.knn_join(rd.from_arrow(tbl), k=5, target_block_rows=2)
+    want = _knn_reference(m, k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64"))
 
 
 def test_knn_join_as_dataset_streams(ray_session):
