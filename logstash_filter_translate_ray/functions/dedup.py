@@ -571,7 +571,12 @@ def _report_skips(where: str, hot_cap, skipped_buckets: int,
         "hot_cap=None to disable, skip_counter= to aggregate)",
         where, hot_cap, skipped_buckets, skipped_rows)
     if skip_counter is not None:
-        skip_counter.add.remote(skipped_buckets, skipped_rows)
+        import ray
+        # synchronous ack: the actor has folded this group's skips BEFORE
+        # the group task completes, so "pipeline returned ⇒ totals() is
+        # consistent". One actor RTT, and only on the rare skip path —
+        # fire-and-forget here raced the driver's totals() read.
+        ray.get(skip_counter.add.remote(skipped_buckets, skipped_rows))
 
 
 def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,

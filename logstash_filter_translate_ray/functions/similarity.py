@@ -271,13 +271,56 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
     return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
 
 
+class _BandedExplode:
+    """Banded random-hyperplane LSH explode: each vector → ``n_tables``
+    rows of (id, table-salted bucket, normalized vec). Planes are drawn
+    lazily from the first batch's dim with a fixed seed, so per-worker
+    rebuilds are identical and cost ~µs — safe to closure-capture into a
+    task pool (see the dedup minhash task-vs-actor measurement)."""
+
+    _SALT = np.uint64(0x9E3779B97F4A7C15)
+
+    def __init__(self, vec_col: str, id_col: str, n_tables: int,
+                 planes_per_table: int, seed: int):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.n_tables, self.planes_per_table = n_tables, planes_per_table
+        self.seed = seed
+        self.planes = None  # dim inferred from the first batch
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = _normalize(_batch_matrix(t, self.vec_col).astype(np.float32))
+        n, dim = m.shape
+        L, r = self.n_tables, self.planes_per_table
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.randn(dim, L * r).astype(np.float32)
+        bits = (m @ self.planes) > 0              # n × (L·r)
+        bits = bits.reshape(n, L, r)
+        sig = (bits @ (1 << np.arange(r))).astype(np.uint64)
+        tids = np.arange(L, dtype=np.uint64)[None, :]
+        bucket = ((sig | (tids << np.uint64(8))) * self._SALT).view(np.int64)
+        idx = np.repeat(np.arange(n), L)
+        ids = t[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = np.ascontiguousarray(m[idx])
+        offs = pa.array(np.arange(0, (len(idx) + 1) * dim, dim,
+                                  dtype=np.int32))
+        vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
+        return pa.table({self.id_col: pc.take(ids, pa.array(idx, type=pa.int64())),
+                         "bucket": pa.array(bucket.reshape(-1)),
+                         "_nvec": vecs})
+
+
 def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 n_tables: int = 12,
                                 planes_per_table: int = 4,
                                 seed: int = 42, num_groups: int = 64,
-                                hot_cap: int = 8192, skip_counter=None):
+                                hot_cap: int = 8192, skip_counter=None,
+                                as_dataset: bool = False):
     """Approximate near-dup pairs — the 100 TB path: banded random-
     hyperplane LSH. Each vector explodes into ``n_tables`` rows
     (table, bucket, id, normalized vec); pairs are scored ONLY inside a
@@ -288,40 +331,10 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     Recall for a pair at cosine c: with p = 1 - arccos(c)/π,
     P(candidate) = 1 - (1 - p^r)^L  (r = planes_per_table, L = n_tables);
     defaults give ≈0.99 at c = 0.9. Precision is exact (scores are real
-    cosines; the threshold filter runs in-bucket)."""
+    cosines; the threshold filter runs in-bucket). ``as_dataset=True``
+    returns the distinct-pairs Dataset unsorted (the streaming path)."""
     import pandas as pd
     import ray.data  # noqa: F401  (Dataset ops used via ds)
-
-    salt = np.uint64(0x9E3779B97F4A7C15)
-
-    class _Explode:
-        def __init__(self):
-            self.planes = None  # dim inferred from the first batch
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(t, vec_col).astype(np.float32))
-            n, dim = m.shape
-            if self.planes is None:
-                rng = np.random.RandomState(seed)
-                self.planes = rng.randn(
-                    dim, n_tables * planes_per_table).astype(np.float32)
-            bits = (m @ self.planes) > 0              # n × (L·r)
-            bits = bits.reshape(n, n_tables, planes_per_table)
-            sig = (bits @ (1 << np.arange(planes_per_table))).astype(np.uint64)
-            tids = np.arange(n_tables, dtype=np.uint64)[None, :]
-            bucket = ((sig | (tids << np.uint64(8))) * salt).view(np.int64)
-            idx = np.repeat(np.arange(n), n_tables)
-            ids = t[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            import pyarrow.compute as pc
-            rep = np.ascontiguousarray(m[idx])
-            offs = pa.array(np.arange(0, (len(idx) + 1) * dim, dim,
-                                      dtype=np.int32))
-            vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
-            return pa.table({id_col: pc.take(ids, pa.array(idx, type=pa.int64())),
-                             "bucket": pa.array(bucket.reshape(-1)),
-                             "_nvec": vecs})
 
     from .dedup import _group_of
 
@@ -367,7 +380,7 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     # task pool: the lazily-built plane matrix is seeded + deterministic,
     # so per-worker rebuilds are identical and cost ~µs (dim × L·r floats);
     # actor spawn would dominate (see the dedup minhash measurement)
-    ex = _Explode()
+    ex = _BandedExplode(vec_col, id_col, n_tables, planes_per_table, seed)
     exploded = ds.map_batches(lambda t, _s=ex: _s(t),
                               batch_format="pyarrow", batch_size=None)
     pairs = exploded.map_batches(add_gb, batch_format="pyarrow",
@@ -377,7 +390,10 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     # normalized vectors) → first-wins bucket dedupe (vectorized; Ray's
     # native multi-key max-agg is ~30× slower per distinct_pairs note)
     from .dedup import distinct_pairs
-    out = distinct_pairs(pairs, carry=("cosine",)).to_pandas()
+    deduped = distinct_pairs(pairs, carry=("cosine",))
+    if as_dataset:
+        return deduped
+    out = deduped.to_pandas()
     if "id_a" not in out.columns:      # zero groups → schema-less empty df
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                             "id_b": pd.Series([], dtype="int64"),

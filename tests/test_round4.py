@@ -93,6 +93,24 @@ def test_embedding_neardup_as_dataset_matches(ray_session):
                                   want[["id_a", "id_b"]].astype("int64"))
 
 
+def test_embedding_lsh_as_dataset_matches(ray_session):
+    """as_dataset=True on the LSH path returns the distinct-pairs Dataset
+    (streaming, unsorted) with the same pair set as the pandas path."""
+    import ray.data as rd
+    tbl, m = _rand_emb(150, dups=4)
+    want = similarity.embedding_neardup_pairs_lsh(rd.from_arrow(tbl),
+                                                  threshold=0.8)
+    ds_out = similarity.embedding_neardup_pairs_lsh(rd.from_arrow(tbl),
+                                                    threshold=0.8,
+                                                    as_dataset=True)
+    import ray.data
+    assert isinstance(ds_out, ray.data.Dataset)
+    got = ds_out.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id_a", "id_b"]].astype("int64"),
+                                  want[["id_a", "id_b"]].astype("int64"))
+
+
 def test_bucket_candidate_pairs_skip_counter(ray_session):
     """hot_cap skips are no longer silent: the counter actor receives the
     skipped bucket/row totals (VERDICT r3 #4)."""
