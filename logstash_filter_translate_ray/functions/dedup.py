@@ -240,6 +240,33 @@ _BROADCAST_MAX_SEEN = 2_000_000   # distinct seen hashes (~32 MB) below
 # which the semi-join broadcasts instead of shuffle-joining
 
 
+def _join_operand(ds, num_partitions: int, n_rows: "Optional[int]" = None):
+    """Materialized, EMPTY-BLOCK-FREE operand for ``Dataset.join``.
+
+    Ray 2.49's hash-shuffle join broadcasts an operand's schema to the
+    aggregator pool only with the FIRST block of that side
+    (``hash_shuffle.py`` ``should_broadcast_schemas``), and
+    ``_shuffle_block`` returns early on a 0-row block WITHOUT sending the
+    schema shards. If block arrival order puts an empty block first, every
+    join partition that receives no rows from that side finalizes a
+    zero-COLUMN table and ``pa.Table.join`` raises ArrowInvalid ("No match
+    for FieldRef") — an intermittent, scheduling-dependent failure
+    (reproduced deterministically by joining an operand whose first block
+    is empty; seen as rare CI flakes in the minhash pipeline). Join
+    OUTPUTS can legitimately contain empty partitions, so CHAINED joins
+    (verify's j1→j2, min-label CC's per-round joins) are exposed even when
+    the original inputs are dense, as are tiny pair lists repartitioned
+    above their row count.
+
+    Squashing the operand into ``min(num_partitions, count)`` even row
+    splits guarantees every block is nonempty. Callers must still
+    short-circuit ``count == 0`` — a fully-empty operand cannot deliver a
+    schema at all."""
+    m = ds.materialize()
+    n = m.count() if n_rows is None else n_rows
+    return m.repartition(max(1, min(num_partitions, n))).materialize()
+
+
 def incremental_dedup(ds_new, ds_seen, col: str = "text",
                       id_col: str = "doc_id", num_partitions: int = 4):
     """EXACT cross-dataset dedup — the shape of incremental corpus ingest:
@@ -278,9 +305,10 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
             "content_hash": t["content_hash"],
             "content_hash2": t["content_hash2"],
             "_seen": pa.array([True] * len(t))}),
-            batch_format="pyarrow", batch_size=None) \
-        .repartition(num_partitions).materialize()
+            batch_format="pyarrow", batch_size=None).materialize()
     n_seen = flagged.count()
+    flagged = _join_operand(flagged, num_partitions, n_seen) \
+        if n_seen else flagged
     if n_seen == 0:
         return ds_new
     if n_seen <= _BROADCAST_MAX_SEEN:
@@ -330,10 +358,11 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
     slim = ds_new.map_batches(
         lambda t: _hash_i64(t, keep_all=True)
         .select([id_col, "content_hash", "content_hash2"]),
-        batch_format="pyarrow", batch_size=None) \
-        .repartition(num_partitions).materialize()
-    if slim.count() == 0:
+        batch_format="pyarrow", batch_size=None).materialize()
+    n_new = slim.count()
+    if n_new == 0:
         return ds_new
+    slim = _join_operand(slim, num_partitions, n_new)
     dropped = slim.join(flagged, "inner", num_partitions,
                         on=("content_hash", "content_hash2")) \
         .select_columns([id_col]).materialize()
@@ -356,10 +385,12 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
     # worst case (most of the new corpus is already seen): anti-join the
     # full rows against the dropped-id list — one text-bearing exchange,
     # unavoidable once neither side fits a broadcast
-    flagged_ids = dropped.map_batches(
+    flagged_ids = _join_operand(dropped.map_batches(
         lambda t: t.append_column("_drop", pa.array([True] * len(t))),
-        batch_format="pyarrow", batch_size=None).repartition(num_partitions)
-    joined = ds_new.repartition(num_partitions).join(
+        batch_format="pyarrow", batch_size=None), num_partitions, n_drop)
+    # left side: n_new ≥ n_drop > 0 rows split into ≤ min(n_new,
+    # num_partitions) blocks — no empty block can arrive first
+    joined = ds_new.repartition(max(1, min(num_partitions, n_new))).join(
         flagged_ids, "left_outer", num_partitions, on=(id_col,))
     return joined.map_batches(
         lambda t: t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"]),
@@ -803,19 +834,39 @@ def verified_jaccard_pairs(pairs_ds, docs_ds, col: str = "text",
     distributed; the driver never sees a text. Returns a Dataset
     (id_a, id_b, jaccard)."""
     sig = shingle_set_dataset(docs_ds, col, id_col, k)
-    # repartition + materialize both operands: upstream groupby/filter
-    # stages can leave zero-column empty blocks that the per-partition
-    # Acero join rejects, and stacking repartitions + two joins in ONE
+    # _join_operand both operands AND the first join's output: empty
+    # blocks in any join side race the hash-shuffle schema broadcast
+    # (see _join_operand), and stacking repartitions + two joins in ONE
     # streaming DAG can starve a small CPU budget into a wedge. The sig
     # materialization is bounded by the per-doc shingle blobs (the join
     # shuffles that payload regardless).
-    pairs_ds = pairs_ds.repartition(num_partitions).materialize()
-    sig = sig.repartition(num_partitions).materialize()
+    def _empty_result():
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    sig = sig.materialize()
+    n_sig = sig.count()
+    if n_pairs == 0 or n_sig == 0:     # an empty operand can't join (see
+        return _empty_result()          # _join_operand) — and the answer
+    pairs_ds = _join_operand(pairs_ds, num_partitions, n_pairs)  # is known
+    sig = _join_operand(sig, num_partitions, n_sig)
     j1 = pairs_ds.join(sig, "inner", num_partitions,
                        on=("id_a",), right_on=(id_col,)) \
         .map_batches(lambda t: t.rename_columns(
             [{"sh_set": "_sh_a"}.get(c, c) for c in t.column_names]),
             batch_format="pyarrow", batch_size=None)
+    # chained join: j1 is itself a join output, whose partitions can be
+    # empty — squash before it becomes the next join's left side
+    j1 = j1.materialize()
+    n_j1 = j1.count()
+    if n_j1 == 0:                       # pair ids absent from docs_ds
+        return _empty_result()
+    j1 = _join_operand(j1, num_partitions, n_j1)
     j2 = j1.join(sig, "inner", num_partitions,
                  on=("id_b",), right_on=(id_col,))
 
@@ -876,15 +927,17 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
         return pa.table({"src": pa.concat_arrays([a, b]),
                          "dst": pa.concat_arrays([b, a])})
 
-    # NB: several operators (hash groupby, filters) can leave zero-COLUMN
-    # empty blocks in a dataset, which Dataset.join's per-partition Acero
-    # join rejects ("no match for key field") — a repartition squashes them
-    # back into schema'd blocks, so every join operand goes through _norm.
+    # every join operand goes through _norm = _join_operand: empty blocks
+    # (possible in groupby/filter/join outputs) race the hash-shuffle
+    # schema broadcast (see _join_operand). All operands here are
+    # nonempty by construction: pairs_ds is (callers gate on the verified
+    # pair count), edges doubles it, labels covers every edge src, and
+    # nbr/merged are inner joins on total key overlap.
     def _norm(d):
-        return d.repartition(num_partitions)
+        return _join_operand(d, num_partitions)
 
     edges = _norm(pairs_ds.map_batches(_both, batch_format="pyarrow",
-                                       batch_size=None)).materialize()
+                                       batch_size=None))
 
     def _init(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"],
@@ -893,7 +946,7 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
 
     labels = _norm(edges.groupby("src").min("dst")
                    .map_batches(_init, batch_format="pyarrow",
-                                batch_size=None)).materialize()
+                                batch_size=None))
 
     changed: "int | None" = None       # None ⇒ zero rounds ran
     for _ in range(max_iters):
@@ -917,7 +970,7 @@ def minlabel_components(pairs_ds, num_partitions: int = 4,
             lambda t: pa.table({"c": pa.array(
                 [t["_changed"][0].as_py() if len(t) else 0], type=pa.int64())}),
             batch_format="pyarrow", batch_size=None).sum("c")
-        labels = _norm(stepped.drop_columns(["_changed"])).materialize()
+        labels = _norm(stepped.drop_columns(["_changed"]))
         if not changed:
             break
     else:
@@ -982,12 +1035,15 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         dropped = labels.map_batches(
             lambda t: t.filter(pc.not_equal(t["node"], t["label"])),
             batch_format="pyarrow", batch_size=None).materialize()
-        # anti-join survivor filter: flag dropped ids, left-join, keep nulls
-        # (repartition: see minlabel_components zero-column-block note)
-        flagged = dropped.map_batches(
+        # anti-join survivor filter: flag dropped ids, left-join, keep
+        # nulls. flagged is nonempty (verified pairs ⇒ ≥1 non-root node)
+        # and goes through _join_operand; the big text-bearing left side
+        # stays streaming — parquet-read blocks are nonempty, so only the
+        # small side carries the empty-block schema-broadcast risk.
+        flagged = _join_operand(dropped.map_batches(
             lambda t: pa.table({"node": t["node"],
                                 "_drop": pa.array([True] * len(t))}),
-            batch_format="pyarrow", batch_size=None).repartition(num_partitions)
+            batch_format="pyarrow", batch_size=None), num_partitions)
         joined = ds.join(flagged, "left_outer", num_partitions,
                          on=(id_col,), right_on=("node",))
         kept = joined.map_batches(
