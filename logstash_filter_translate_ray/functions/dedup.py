@@ -569,7 +569,12 @@ def make_skip_counter():
     :func:`bucket_candidate_pairs` /
     :func:`~..similarity.embedding_neardup_pairs_lsh`; read totals after the
     pipeline with ``ray.get(h.totals.remote())``. NO silent caps: even
-    without a counter, every skipping group logs a warning."""
+    without a counter, every skipping group logs a warning.
+
+    Semantics: AT-LEAST-ONCE observability, not an exact ledger — a group
+    task retried after a worker loss, or a lazy dataset consumed twice,
+    re-reports its skips (totals can only OVERstate, never hide a skip).
+    Call ``reset()`` between runs when reusing one handle."""
     import ray
 
     @ray.remote(num_cpus=0)
@@ -581,6 +586,10 @@ def make_skip_counter():
         def add(self, buckets: int, rows: int) -> None:
             self.buckets += buckets
             self.rows += rows
+
+        def reset(self) -> None:
+            self.buckets = 0
+            self.rows = 0
 
         def totals(self) -> dict:
             return {"buckets": self.buckets, "rows": self.rows}
@@ -1037,15 +1046,19 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
             batch_format="pyarrow", batch_size=None).materialize()
         # anti-join survivor filter: flag dropped ids, left-join, keep
         # nulls. flagged is nonempty (verified pairs ⇒ ≥1 non-root node)
-        # and goes through _join_operand; the big text-bearing left side
-        # stays streaming — parquet-read blocks are nonempty, so only the
-        # small side carries the empty-block schema-broadcast risk.
+        # and goes through _join_operand. The big text-bearing left side
+        # must ALSO be empty-block-free (ds can be a filter-chain output
+        # whose blocks are empty) — the join hash-partitions the corpus
+        # into num_partitions anyway, so the _join_operand squash is the
+        # same data movement one stage earlier, sized by the caller's
+        # num_partitions.
         flagged = _join_operand(dropped.map_batches(
             lambda t: pa.table({"node": t["node"],
                                 "_drop": pa.array([True] * len(t))}),
             batch_format="pyarrow", batch_size=None), num_partitions)
-        joined = ds.join(flagged, "left_outer", num_partitions,
-                         on=(id_col,), right_on=("node",))
+        joined = _join_operand(ds, num_partitions).join(
+            flagged, "left_outer", num_partitions,
+            on=(id_col,), right_on=("node",))
         kept = joined.map_batches(
             lambda t: t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"]),
             batch_format="pyarrow", batch_size=None)

@@ -185,18 +185,9 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
     import ray
 
     sub = ds.select_columns([id_col, vec_col]).materialize()
-    refs = sub.to_arrow_refs()
-    # block width caps the transient score matrix at target_block_rows² ×
-    # 8 B per task (128 MB at the 4096 default) REGARDLESS of N — more
-    # rows means more blocks/tasks, never bigger matrices. max_blocks is
-    # only a floor on over-splitting tiny inputs.
     n_total = sub.count()
-    desired = max(1, -(-n_total // target_block_rows))
-    if len(refs) > max(desired, max_blocks) or len(refs) < desired:
-        # repartition the MATERIALIZED handle (see embedding_neardup_pairs)
-        refs = sub.repartition(desired).to_arrow_refs()
     import pandas as pd
-    if not refs:
+    if n_total == 0:
         empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                               "nn_rank": pd.Series([], dtype="int64"),
                               "neighbor_id": pd.Series([], dtype="int64")})
@@ -204,6 +195,24 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             import ray.data as rd
             return rd.from_pandas(empty)
         return empty
+    # block width caps the transient score matrix at target_block_rows² ×
+    # 8 B per task (128 MB at the 4096 default) REGARDLESS of N — more
+    # rows means more blocks/tasks, never bigger matrices. ALWAYS even-split
+    # to the desired count: gating only on len(refs) let a skewed layout
+    # (one block holding most rows) through with its giant score matrix —
+    # the repartition is a linear split/merge pass, noise next to the
+    # O(N²) matmuls it bounds. (repartition the MATERIALIZED handle, see
+    # embedding_neardup_pairs.)
+    desired = max(1, -(-n_total // target_block_rows))
+    # per-block rows from the materialized metadata (no block fetch): the
+    # bound is on block SIZE, not block count — a skewed layout with the
+    # right count but one giant block must still re-split
+    sizes = [m.num_rows for b in sub.iter_internal_ref_bundles()
+             for m in b.metadata]
+    if len(sizes) != desired or (sizes and max(s or 0 for s in sizes)
+                                 > target_block_rows):
+        sub = sub.repartition(desired).materialize()
+    refs = sub.to_arrow_refs()
 
     @ray.remote
     def block_topk(ta: pa.Table, other_refs: list) -> pa.Table:
@@ -452,9 +461,13 @@ def _centroid_sample(ds, sample_n: int, id_col: str, vec_col: str):
         b = md5_bucket_array(pa.array(df[id_col]))
         return df.iloc[np.lexsort((df[id_col].to_numpy(), b))]
     # 30% overshoot: Binomial(total, frac) lands under sample_n with
-    # negligible probability at sample_n ≥ a few hundred; trim after sort
+    # negligible probability at sample_n ≥ a few hundred; trim after sort.
+    # Bucket count scales with 1/frac so the integer cut tracks frac to
+    # ≤ ~6% relative error — with a FIXED bucket count, cut clamps to ≥ 1
+    # bucket and the driver pull grows as total/buckets (unbounded in N)
+    # instead of staying ≈ 1.3 × sample_n.
     frac = min(1.0, sample_n / total * 1.3)
-    buckets = 10_000
+    buckets = max(10_000, int(np.ceil(8.0 / frac)))
     cut = max(1, int(round(frac * buckets)))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -485,7 +498,7 @@ def build_ivf_centroids(ds, n_cells: int = 16, sample_n: int = 2048,
     both the sample pull and the k-means pass entirely."""
     if cache_key is not None:
         ck = _ivf_cache_sig(cache_key) + (n_cells, sample_n, iters, seed,
-                                          vec_col)
+                                          vec_col, id_col)
         hit = _IVF_CENTROID_CACHE.get(ck)
         if hit is not None:
             return hit

@@ -303,6 +303,16 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
     import pyarrow.parquet as _pq
 
     from ..checkpoint import CheckpointStore, ShardManifest
+
+    pre_out = (load_spec(spec).get("output", {}) or {}).get("path")
+    if pre_out and "://" in pre_out:
+        # fail FAST: the tmp+swap sink (and the checkpoint store's
+        # os.replace manifests) are local-filesystem operations; catching
+        # this after the shards ran would waste the whole pass
+        raise ConfigurationError(
+            f"spec output.path {pre_out!r}: resumable runs support "
+            "local paths only (atomic tmp+swap sink); use run_pipeline "
+            "for remote URIs")
     from .transcripts import _shard_inputs
 
     s = load_spec(spec)
@@ -382,6 +392,16 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
                 final_ds = rd.from_pandas(final_ds)
             import shutil as _shutil
             outp = s["output"]["path"].rstrip("/")
+            if "://" in outp:
+                # the tmp+swap (and the checkpoint store's manifests/
+                # os.replace) are local-filesystem operations; a remote
+                # URI would write the full result to '<uri>.inprogress'
+                # and then crash on the rename — refuse up front. The
+                # non-resumable run_pipeline path handles URI sinks.
+                raise ConfigurationError(
+                    f"spec output.path {outp!r}: resumable runs support "
+                    "local paths only (atomic tmp+swap sink); use "
+                    "run_pipeline for remote URIs")
             if os.path.exists(outp) and not os.path.isdir(outp):
                 raise ConfigurationError(
                     f"spec output.path {outp!r} exists and is not a "

@@ -157,9 +157,10 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
     if parts_ds.count() > driver_partial_rows_max:
         # distributed fallback: one shuffle on the group key; each group's
         # histogram merge + quantile extraction runs in a worker. Ray's
-        # sort-shuffle groupby can't order null keys — string keys get the
-        # NULL_LABEL sentinel here (matching grouped_counts' convention);
-        # other key types keep their nulls out of this path's contract.
+        # sort-shuffle groupby can't order null keys — string keys ride
+        # the shuffle as the NULL_LABEL sentinel and are mapped BACK to
+        # null in per_key (parity with the driver path + oracle); other
+        # key types keep their nulls out of this path's contract.
         def fill_key(t: pa.Table) -> pa.Table:
             col = t[key]
             if pa.types.is_string(col.type) \
@@ -174,7 +175,15 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
         def per_key(t: pa.Table) -> pd.DataFrame:
             g = t.to_pandas().groupby("cents", as_index=False)["cnt"].sum() \
                 .sort_values("cents")
-            row = {key: t[key][0].as_py(),
+            kv = t[key][0].as_py()
+            if kv == NULL_LABEL:
+                # undo the shuffle-only sentinel: BOTH merge paths emit a
+                # real null group key (= the quantile_disc oracle), so the
+                # output doesn't change shape with data volume. (A genuine
+                # "(null)" string key collides with the sentinel — same
+                # documented trade as grouped_counts.)
+                kv = None
+            row = {key: kv,
                    **_quantiles_from_hist(g["cents"].to_numpy(),
                                           g["cnt"].cumsum().to_numpy(), qs)}
             return pd.DataFrame([row])

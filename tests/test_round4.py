@@ -93,6 +93,66 @@ def test_embedding_neardup_as_dataset_matches(ray_session):
                                   want[["id_a", "id_b"]].astype("int64"))
 
 
+def test_knn_join_empty_and_skewed_blocks(ray_session):
+    """Empty input returns the typed empty frame (the r4 block-count
+    rewrite briefly repartitioned an empty dataset into one empty block →
+    ZeroDivisionError in _batch_matrix); a skewed layout (one giant block,
+    right total count) still re-splits to the target_block_rows bound and
+    matches the oracle."""
+    import ray.data as rd
+    dim = 16
+    empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array([0], type=pa.int32()),
+            pa.array([], type=pa.float64()))})
+    out = similarity.knn_join(rd.from_arrow(empty), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "nn_rank", "neighbor_id"]
+    ds_out = similarity.knn_join(rd.from_arrow(empty), k=3, as_dataset=True)
+    assert ds_out.count() == 0
+
+    # skew: 90 rows in one block + 10 in another, target 25 rows/block —
+    # block COUNT alone can look fine while one block dwarfs the bound
+    tbl, m = _rand_emb(100, dim=dim)
+    skewed = rd.from_arrow([tbl.slice(0, 90), tbl.slice(90, 10)])
+    got = similarity.knn_join(skewed, k=3, target_block_rows=25)
+    want = _knn_reference(m, k=3)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_grouped_quantiles_fallback_null_key_parity(ray_session):
+    """The distributed fallback must emit the SAME null group key as the
+    driver merge (a real null, not the shuffle sentinel) — output must not
+    change shape with data volume."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    tbl = pa.table({
+        "event_type": ["a", "a", None, None],
+        "value": [1.0, 2.0, 5.0, 7.0],
+    })
+    driver = grouped_quantiles(rd.from_arrow(tbl), qs=(0.5,)) \
+        .sort_values("event_type", na_position="last").reset_index(drop=True)
+    fb = grouped_quantiles(rd.from_arrow(tbl), qs=(0.5,),
+                           driver_partial_rows_max=0).to_pandas() \
+        .sort_values("event_type", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fb[driver.columns], driver,
+                                  check_dtype=False)
+    assert pd.isna(fb.loc[1, "event_type"])     # not the "(null)" sentinel
+
+
+def test_spec_resumable_rejects_remote_uri(tmp_path):
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    from logstash_filter_translate_ray.pipelines.spec import (
+        run_spec_resumable)
+    spec = {"input": {"path": str(tmp_path / "missing.parquet")},
+            "steps": [],
+            "output": {"path": "s3://bucket/out"}}
+    with pytest.raises(ConfigurationError, match="local paths only"):
+        run_spec_resumable(spec, str(tmp_path / "ckpt"))
+
+
 def test_embedding_lsh_as_dataset_matches(ray_session):
     """as_dataset=True on the LSH path returns the distinct-pairs Dataset
     (streaming, unsorted) with the same pair set as the pandas path."""
