@@ -506,7 +506,7 @@ def q_winnow(sf_dir: str):
     out = winnow_dataset(ds)
 
     def first8(t: pa.Table) -> pa.Table:
-        fps = [",".join(str(x) for x in v[:8])
+        fps = [None if v is None else ",".join(str(x) for x in v[:8])
                for v in t["fingerprints"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
                          "fp8": pa.array(fps, type=pa.string())})
@@ -875,9 +875,13 @@ def _langid_sql() -> str:
     for i, l in enumerate(langs[:-1]):
         conds = " AND ".join(f"{l} >= {m}" for m in langs[i + 1:])
         tie.append(f"WHEN {conds} THEN '{l}'")
+    # leading NULL guard: null text → null prediction (matches
+    # langid_batch's null ⇔ absent convention; without it the CASE's NULL
+    # comparisons fall through to the ELSE arm)
     return (
-        f"WITH s AS (SELECT doc_id, {counts} FROM documents) "
-        f"SELECT doc_id, CASE WHEN greatest({', '.join(langs)}) = 0 "
+        f"WITH s AS (SELECT doc_id, text, {counts} FROM documents) "
+        f"SELECT doc_id, CASE WHEN text IS NULL THEN NULL "
+        f"WHEN greatest({', '.join(langs)}) = 0 "
         f"THEN 'und' {' '.join(tie)} ELSE '{langs[-1]}' END AS lang_pred "
         "FROM s")
 

@@ -13,11 +13,17 @@ store so the streaming-executed job resumes idempotently". Design
 - Resume = skip shards whose manifest exists; aggregates are recomputed
   from manifests (never double-counted — the manifest is the unit of
   exactly-once accounting over at-least-once task retries).
+- Durability: the manifest is fsync'd before the rename and the directory
+  fsync'd after, so a power loss can't leave a renamed-but-empty manifest
+  (ext4 delayed allocation); a manifest that is nonetheless unreadable or
+  truncated is treated as ABSENT (the shard re-runs — at-least-once work,
+  never silent data loss) rather than wedging every subsequent resume.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 from dataclasses import asdict, dataclass, field
@@ -46,30 +52,55 @@ class CheckpointStore:
         return os.path.join(self.manifest_dir, f"{shard_id}.json")
 
     def is_done(self, shard_id: str) -> bool:
-        return os.path.exists(self._path(shard_id))
+        # existence is not enough: a crashed/corrupt manifest must count
+        # as NOT done so the shard re-runs instead of silently dropping
+        return self.load(shard_id) is not None
+
+    def _read(self, path: str) -> Optional[ShardManifest]:
+        try:
+            with open(path) as f:
+                return ShardManifest(**json.load(f))
+        except (json.JSONDecodeError, TypeError, ValueError, OSError) as e:
+            logging.getLogger(__name__).warning(
+                "checkpoint manifest %s unreadable (%s: %s) — treating the "
+                "shard as not done; it will re-run", path,
+                type(e).__name__, e)
+            return None
 
     def load(self, shard_id: str) -> Optional[ShardManifest]:
         p = self._path(shard_id)
         if not os.path.exists(p):
             return None
-        with open(p) as f:
-            return ShardManifest(**json.load(f))
+        return self._read(p)
 
     def load_all(self) -> list[ShardManifest]:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
-            if name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(ShardManifest(**json.load(f)))
+            if name.endswith(".json") and not name.endswith(".tmp"):
+                m = self._read(os.path.join(self.manifest_dir, name))
+                if m is not None:
+                    out.append(m)
         return out
 
     def commit(self, manifest: ShardManifest) -> None:
-        """Write the manifest atomically (tmp → rename)."""
+        """Write the manifest atomically AND durably (write → fsync →
+        rename → dir fsync): without the fsyncs a power loss can promote
+        an empty file past the rename barrier."""
         p = self._path(manifest.shard_id)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(asdict(manifest), f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, p)
+        try:
+            dfd = os.open(self.manifest_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass    # directory fsync unsupported on some filesystems
 
     def shard_output_dir(self, shard_id: str) -> str:
         return os.path.join(self.root, f"shard={shard_id}")

@@ -99,10 +99,28 @@ def approx_distinct(ds, col: str, p: int = _DEFAULT_P) -> float:
         c = c.drop_null()
         hll = HyperLogLog(p)
         if len(c):
-            vals = np.asarray(
-                [v if isinstance(v, str) else str(v) for v in c.to_pylist()],
-                dtype=object)
-            hll.add_hashes(pd.util.hash_array(vals))
+            if pa.types.is_integer(c.type) or pa.types.is_floating(c.type):
+                # numeric: hash the C buffer directly — no Python objects
+                h = pd.util.hash_array(
+                    np.asarray(c.to_numpy(zero_copy_only=False)))
+            else:
+                # strings (and anything castable): hash only the UNIQUE
+                # values via dictionary_encode, then fan the digest back
+                # out by code — the same unique-only trick as the MinHash
+                # vocabulary hashing (the old per-row str() listcomp was
+                # the block cost at 16M rows)
+                try:
+                    if not (pa.types.is_string(c.type)
+                            or pa.types.is_large_string(c.type)):
+                        c = pc.cast(c, pa.string())
+                    enc = c.dictionary_encode()
+                    dh = pd.util.hash_array(np.asarray(
+                        enc.dictionary.to_pylist(), dtype=object))
+                    h = dh[enc.indices.to_numpy(zero_copy_only=False)]
+                except pa.ArrowInvalid:        # uncastable exotic type
+                    h = pd.util.hash_array(np.asarray(
+                        [str(v) for v in c.to_pylist()], dtype=object))
+            hll.add_hashes(h)
         return pa.table({"blob": pa.array([hll.to_bytes()],
                                           type=pa.binary())})
 

@@ -9,8 +9,6 @@ bottleneck; see fingerprint_batch).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -164,7 +162,9 @@ LANG_PROFILES: dict[str, str] = {
 def langid_batch(tbl: pa.Table, col: str = "text",
                  out: str = "lang_pred") -> pa.Table:
     """Deterministic heuristic language-ID: one vectorized RE2 count per
-    language profile, argmax wins; 'und' when every profile scores 0."""
+    language profile, argmax wins; 'und' when every profile scores 0;
+    null text → null (the columnar null ⇔ absent convention — the SQL
+    mirror's CASE is guarded the same way)."""
     c = tbl[col]
     langs = list(LANG_PROFILES)
     scores = np.stack([
@@ -172,7 +172,9 @@ def langid_batch(tbl: pa.Table, col: str = "text",
         for p in LANG_PROFILES.values()]).astype(np.float64)
     best = np.argmax(scores, axis=0)
     top = scores[best, np.arange(scores.shape[1])]
-    pred = np.where(top > 0, np.array(langs, dtype=object)[best], "und")
+    with np.errstate(invalid="ignore"):        # null text → NaN scores
+        pred = np.where(top > 0, np.array(langs, dtype=object)[best], "und")
+    pred[np.isnan(top)] = None                 # null in, null out
     return tbl.append_column(out, pa.array(pred.astype(object),
                                            type=pa.string()))
 
@@ -219,7 +221,9 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
     shared substring of length ≥ w+k-1 yields a shared fingerprint. Fully
     vectorized: codepoints via one utf-32 decode, k-gram hashes via a
     windowed dot product, window minima via the stride trick."""
-    n = len(text)
+    if text is None:
+        return None         # null ⇔ absent (parity with winnow_dataset's
+    n = len(text)           # null-list marking; "" is a real empty doc)
     if n == 0:
         return []
     cp = _codepoints(text)
@@ -309,10 +313,21 @@ def winnow_batch(texts: list, k: int = 5, w: int = 4) \
 def winnow_dataset(ds, col: str = "text", k: int = 5, w: int = 4,
                    out: str = "fingerprints"):
     def _fn(tbl: pa.Table) -> pa.Table:
-        vals, ptr = winnow_batch(tbl[col].to_pylist(), k, w)
-        lists = pa.ListArray.from_arrays(
-            pa.array(ptr.astype(np.int32), type=pa.int32()),
-            pa.array(vals, type=pa.int64()))
+        texts = tbl[col].to_pylist()
+        vals, ptr = winnow_batch(texts, k, w)
+        offs = ptr.astype(np.int32)
+        # null text → NULL list (not []): a null at offset slot i marks
+        # list i null — winnow_batch treats None as zero fingerprints, so
+        # the offsets already skip it. "" stays a real [] (empty doc).
+        null_rows = [i for i, t in enumerate(texts) if t is None]
+        if null_rows:
+            offs_arr = pa.array(offs, type=pa.int32(),
+                                mask=np.isin(np.arange(len(offs)),
+                                             np.array(null_rows)))
+        else:
+            offs_arr = pa.array(offs, type=pa.int32())
+        lists = pa.ListArray.from_arrays(offs_arr,
+                                         pa.array(vals, type=pa.int64()))
         return tbl.append_column(out, lists)
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 

@@ -16,8 +16,6 @@ row-local function of ts, so it composes with the combiner aggregate.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -128,9 +126,15 @@ def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
             return pa.table({key: pa.array([], type=t.schema.field(key).type),
                              "n_sessions": pa.array([], type=pa.int64())})
         t, ts_us, boundary = _sorted_segments(t, key, ts_col, id_col)
-        diff = np.zeros(len(t), dtype=np.int64)
-        np.subtract(ts_us[1:], ts_us[:-1], out=diff[1:])
-        new_session = boundary | (diff > gap_us)
+        # float64 diff: a null ts makes ts_us float64-with-NaN (Arrow's
+        # nullable-int64 promotion) and an int64 out buffer raised a
+        # casting TypeError (same hazard prev_event_gap guards). NaN > gap
+        # is False ⇒ a null-ts row never STARTS a session — the lag-based
+        # SQL flag (NULL comparison → false) agrees.
+        diff = np.zeros(len(t), dtype=np.float64)
+        np.subtract(ts_us[1:], ts_us[:-1], out=diff[1:], casting="unsafe")
+        with np.errstate(invalid="ignore"):
+            new_session = boundary | (diff > gap_us)
         seg = np.cumsum(boundary) - 1          # dense key index in sort order
         counts = np.bincount(seg[new_session], minlength=seg[-1] + 1)
         kidx = pa.array(np.nonzero(boundary)[0], type=pa.int64())
@@ -159,14 +163,28 @@ def event_paths(ds, key: str = "user_id", ts_col: str = "ts",
             return pa.table({key: pa.array([], type=t.schema.field(key).type),
                              out: pa.array([], type=pa.string())})
         t, _, boundary = _sorted_segments(t, key, ts_col, id_col)
-        starts = np.nonzero(boundary)[0]
-        offs = np.concatenate((starts, [len(t)])).astype(np.int32)
+        # null values are SKIPPED, not poisoning: pc.binary_join nulls the
+        # whole joined string when any list element is null, but the SQL
+        # mirror (string_agg ... ORDER BY) ignores NULL elements and a key
+        # whose values are ALL null gets a null path. Segment offsets are
+        # rebuilt over the valid-only rows; keys that lose every row stay
+        # in the output via the all-keys boundary list.
         vals = t[val_col]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        lists = pa.ListArray.from_arrays(pa.array(offs), pc.cast(vals, pa.string()))
-        joined = pc.binary_join(lists, sep)
-        kidx = pa.array(starts, type=pa.int64())
+        valid = np.asarray(pc.is_valid(vals))
+        seg = np.cumsum(boundary) - 1          # dense key index, sort order
+        n_keys = seg[-1] + 1
+        kept_per_key = np.bincount(seg[valid], minlength=n_keys)
+        offs = np.zeros(n_keys + 1, dtype=np.int32)
+        np.cumsum(kept_per_key, out=offs[1:])
+        kept_vals = pc.cast(vals.filter(pa.array(valid)), pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), kept_vals), sep)
+        if (kept_per_key == 0).any():          # all-null keys → null path
+            joined = pc.if_else(pa.array(kept_per_key > 0), joined,
+                                pa.scalar(None, type=pa.string()))
+        kidx = pa.array(np.nonzero(boundary)[0], type=pa.int64())
         keys_arr = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
         return pa.table({key: pc.take(keys_arr, kidx), out: joined})
 

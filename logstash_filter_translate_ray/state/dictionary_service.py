@@ -97,7 +97,13 @@ class DictionaryService:
         now = time.monotonic()
         if now - self._last_check >= self._refresh_interval:
             with self._reload_lock:
-                self._last_check = now
+                # re-check under the lock: a poll racing the timer tick
+                # (which just reloaded and advanced _last_check) must not
+                # pay a second full reload
+                if time.monotonic() - self._last_check \
+                        < self._refresh_interval:
+                    return
+                self._last_check = time.monotonic()
                 self._backend.reload()
 
     # -- worker API --------------------------------------------------------

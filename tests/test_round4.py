@@ -345,6 +345,90 @@ def test_sprintf_timeformat_rejected():
     assert cfg.fallback == "missed %{a}"
 
 
+def test_session_counts_null_ts_no_crash(ray_session):
+    """A null ts promotes the epoch array to float64-with-NaN; the int64
+    diff buffer raised a casting TypeError. NaN gaps never START a session
+    (= the lag-based SQL flag where NULL comparisons are false)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.window import session_counts
+    ts = pa.array([1_000_000, 10_000_000_000_000, None, 500_000],
+                  type=pa.timestamp("us"))
+    tbl = pa.table({"user_id": ["u1", "u1", "u1", "u2"],
+                    "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "ts": ts})
+    out = session_counts(rd.from_arrow(tbl), gap="30min").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # u1: two real events far apart → 2 sessions; the null-ts row sorts
+    # last in-key and starts none. u2: 1 session.
+    assert out["user_id"].tolist() == ["u1", "u2"]
+    assert out["n_sessions"].tolist() == [2, 1]
+
+
+def test_event_paths_null_values_skipped(ray_session):
+    """Null path elements are SKIPPED like string_agg (one null event_type
+    must not null the whole path); an all-null key emits a null path."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.window import event_paths
+    tbl = pa.table({
+        "user_id": ["a", "a", "a", "b", "b"],
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2], type=pa.timestamp("us")),
+        "event_type": ["x", None, "y", None, None],
+    })
+    out = event_paths(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out.loc[0, "path"] == "x>y"          # null element skipped
+    assert pd.isna(out.loc[1, "path"])          # all-null key → null
+
+    # parity with the SQL the oracle uses
+    import duckdb
+    want = duckdb.connect().execute(
+        "SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id)"
+        " AS path FROM tbl GROUP BY user_id ORDER BY user_id").df()
+    pd.testing.assert_frame_equal(out[["user_id", "path"]], want,
+                                  check_dtype=False)
+
+
+def test_langid_and_winnow_null_text(ray_session):
+    """null ⇔ absent: langid(null) = null (the SQL CASE is guarded the
+    same way) and winnow(null) = null list, not []."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.text import (
+        langid_batch, winnow_dataset, winnow_fingerprints)
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": ["the cat and the hat", None, ""]})
+    out = langid_batch(tbl)
+    assert out["lang_pred"].to_pylist() == ["en", None, "und"]
+    fps = {}                    # arrow iteration: Ray's pandas conversion
+    for b in winnow_dataset(rd.from_arrow(tbl)) \
+            .iter_batches(batch_format="pyarrow"):   # trips on null lists
+        fps.update(zip(b["doc_id"].to_pylist(),
+                       b["fingerprints"].to_pylist()))
+    assert fps[1] is not None and len(fps[1]) > 0
+    assert fps[2] is None                       # null text → null list
+    assert fps[3] is not None and len(fps[3]) == 0   # "" → real []
+    assert winnow_fingerprints(None) is None    # scalar path parity
+
+
+def test_checkpoint_corrupt_manifest_reruns(tmp_path):
+    """A truncated/corrupt manifest (power loss) counts as NOT done — the
+    shard re-runs instead of being skipped forever or wedging load_all."""
+    from logstash_filter_translate_ray.checkpoint import (CheckpointStore,
+                                                          ShardManifest)
+    store = CheckpointStore(str(tmp_path))
+    store.commit(ShardManifest("s0", ["a.parquet"], "out", 10, 10))
+    assert store.is_done("s0")
+    # corrupt it the way delayed allocation does: renamed but empty
+    with open(store._path("s0"), "w"):
+        pass
+    assert not store.is_done("s0")
+    assert store.load("s0") is None
+    assert store.load_all() == []               # no crash, no ghost rows
+    # a fresh commit repairs it
+    store.commit(ShardManifest("s0", ["a.parquet"], "out", 10, 10))
+    assert store.is_done("s0") and len(store.load_all()) == 1
+
+
 def test_dictionary_service_cross_handle_consistency(ray_session, tmp_path):
     """Two get-or-create handles under the same name resolve to ONE actor
     (fixed namespace) and see the same version stream — the multi-pipeline
