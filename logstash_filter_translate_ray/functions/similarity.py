@@ -197,25 +197,29 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
         return empty
     # block width caps the transient score matrix at target_block_rows² ×
     # 8 B per task (128 MB at the 4096 default) REGARDLESS of N — more
-    # rows means more blocks/tasks, never bigger matrices. ALWAYS even-split
-    # to the desired count: gating only on len(refs) let a skewed layout
-    # (one block holding most rows) through with its giant score matrix —
-    # the repartition is a linear split/merge pass, noise next to the
-    # O(N²) matmuls it bounds. (repartition the MATERIALIZED handle, see
-    # embedding_neardup_pairs.)
+    # rows means more blocks/tasks, never bigger matrices. The bound is on
+    # block SIZE (per-block rows from the materialized metadata, no block
+    # fetch): a skewed layout with a plausible block COUNT but one giant
+    # block must re-split — but a layout already under the cap keeps its
+    # (usually better load-balanced) granularity; a measured forced
+    # re-split 64→49 blocks at 200k vectors cost 1.4× wall time on 32
+    # CPUs (uneven last wave). Empty blocks re-split too (a 0-row table
+    # would div-by-zero in _batch_matrix's dim inference).
     desired = max(1, -(-n_total // target_block_rows))
-    # per-block rows from the materialized metadata (no block fetch): the
-    # bound is on block SIZE, not block count — a skewed layout with the
-    # right count but one giant block must still re-split
     sizes = [m.num_rows for b in sub.iter_internal_ref_bundles()
              for m in b.metadata]
-    if len(sizes) != desired or (sizes and max(s or 0 for s in sizes)
-                                 > target_block_rows):
+    oversize = any(s is None or s > target_block_rows or s == 0
+                   for s in sizes)
+    if oversize or len(sizes) > max(desired, max_blocks):
         sub = sub.repartition(desired).materialize()
     refs = sub.to_arrow_refs()
 
     @ray.remote
     def block_topk(ta: pa.Table, other_refs: list) -> pa.Table:
+        if len(ta) == 0:      # defense: _batch_matrix infers dim by division
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "nn_rank": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64())})
         ma = _normalize(_batch_matrix(ta, vec_col).astype(np.float64))
         ids_a = ta[id_col].to_numpy(zero_copy_only=False)
         n = len(ma)
@@ -223,6 +227,8 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
         run_i = np.empty((n, 0), dtype=np.int64)
         for ref in other_refs:
             tb = ray.get(ref)                 # one other-block at a time
+            if len(tb) == 0:
+                continue
             mb = _normalize(_batch_matrix(tb, vec_col).astype(np.float64))
             ids_b = tb[id_col].to_numpy(zero_copy_only=False)
             # COLUMNS pre-sorted by id (one 1-D sort): boundary score ties

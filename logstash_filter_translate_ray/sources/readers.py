@@ -17,8 +17,13 @@ _CONVERT = pacsv.ConvertOptions(
     column_types={f.name: f.type for f in TRANSCRIPT_SCHEMA},
     # review r3: without this, null string cells round-trip as "" and the
     # engine's null ⇔ absent convention diverges between CSV and parquet
-    # sources (a null tool became "" → dict miss → fallback written)
-    strings_can_be_null=True)
+    # sources (a null tool became "" → dict miss → fallback written).
+    # review r4: but "" is ALSO a legal, lookupable tool value (the
+    # nil_is_present shape) — conflating it with null inverts the same
+    # divergence. Postgres-style split: an UNQUOTED empty cell is null,
+    # a QUOTED "" survives as the empty string.
+    strings_can_be_null=True,
+    quoted_strings_can_be_null=False)
 
 
 def read_transcripts_csv(paths: "str | list[str]") -> "rd.Dataset":

@@ -58,16 +58,33 @@ class ParseConfig:
 
 
 def _compile_plan(cfg: ParseConfig):
-    """Pre-validate rules against RE2; mark the ones needing Python re."""
+    """Pre-validate rules against RE2; mark the ones needing Python re.
+    All build-TIME: a rule whose output group can't be produced must fail
+    here, not inside every map_batches task."""
     plan = []
-    probe = pa.array([], type=pa.string())
+    # NON-empty probe (CLAUDE.md rule): RE2 compiles lazily and an empty
+    # probe validates nothing on several kernels
+    probe = pa.array([""], type=pa.string())
     for r in cfg.rules:
         if isinstance(r, GrokRule):
             pc.extract_regex(probe, pattern=r.pattern)   # raises on bad RE2
             plan.append((r, r.pattern, None))
             continue
-        # pc.extract_regex needs a named group
-        named = re.sub(r"\((?!\?)", f"(?P<{r.out}>", r.pattern, count=1)
+        # pc.extract_regex needs a named group: inject one at the first
+        # UNNAMED, UNESCAPED '(' — (?<!\\) skips a literal \( whose
+        # corruption would silently change match semantics
+        named = re.sub(r"(?<!\\)\((?!\?)", f"(?P<{r.out}>", r.pattern,
+                       count=1)
+        if f"(?P<{r.out}>" not in named:
+            # no injectable group (e.g. the pattern's only group is already
+            # named something else): without this check the plan compiles
+            # fine and every worker task dies on struct_field(out)
+            from ..errors import ConfigurationError
+            raise ConfigurationError(
+                f"ExtractRule(out={r.out!r}): pattern {r.pattern!r} has no "
+                f"unnamed capture group to bind to {r.out!r} — use exactly "
+                f"one unnamed group, or name a group (?P<{r.out}>...) "
+                "yourself")
         try:
             pc.extract_regex(probe, pattern=named)
             plan.append((r, named, None))
@@ -76,13 +93,28 @@ def _compile_plan(cfg: ParseConfig):
     return plan
 
 
+def _set_or_append(tbl: pa.Table, name: str, arr) -> pa.Table:
+    """Replace-if-present: re-running a parse stage (or a rule whose out
+    collides with a schema column) must not grow duplicate same-named
+    fields — later by-name access raises 'Field exists 2 times'."""
+    if name in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(name), name, arr)
+    return tbl.append_column(name, arr)
+
+
 def parse_batch(tbl: pa.Table, plan) -> pa.Table:
     for rule, named, pyre in plan:
         if isinstance(rule, GrokRule):
             tbl = _apply_grok(tbl, rule)
             continue
         if rule.source not in tbl.column_names:
-            tbl = tbl.append_column(rule.out, pa.nulls(len(tbl), pa.string()))
+            # honor rule.cast here too: blocks lacking the source column
+            # must emit the SAME column type as blocks that have it, or
+            # dataset-level schema unification fails (the grok branch
+            # already does this)
+            tbl = _set_or_append(tbl, rule.out,
+                                 pa.nulls(len(tbl),
+                                          rule.cast or pa.string()))
             continue
         col = tbl[rule.source]
         if isinstance(col, pa.ChunkedArray):
@@ -101,7 +133,7 @@ def parse_batch(tbl: pa.Table, plan) -> pa.Table:
             vals = pa.array(out, type=pa.string())
         if rule.cast:
             vals = pc.cast(vals, rule.cast)
-        tbl = tbl.append_column(rule.out, vals)
+        tbl = _set_or_append(tbl, rule.out, vals)
     return tbl
 
 
@@ -110,8 +142,8 @@ def _apply_grok(tbl: pa.Table, rule: "GrokRule") -> pa.Table:
     casts = dict(rule.casts)
     if rule.source not in tbl.column_names:
         for g in group_names:
-            tbl = tbl.append_column(g, pa.nulls(len(tbl),
-                                                casts.get(g, pa.string())))
+            tbl = _set_or_append(tbl, g, pa.nulls(len(tbl),
+                                                  casts.get(g, pa.string())))
         return tbl
     col = tbl[rule.source]
     if isinstance(col, pa.ChunkedArray):
@@ -121,7 +153,7 @@ def _apply_grok(tbl: pa.Table, rule: "GrokRule") -> pa.Table:
         vals = pc.struct_field(ext, g)
         if g in casts:
             vals = pc.cast(vals, casts[g])
-        tbl = tbl.append_column(g, vals)
+        tbl = _set_or_append(tbl, g, vals)
     return tbl
 
 

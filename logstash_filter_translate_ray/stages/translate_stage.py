@@ -32,6 +32,14 @@ from ..state import get_or_create_dictionary_service
 ERROR_COL = "translate_error"
 
 
+def _set_or_append(tbl: pa.Table, name: str, arr: "pa.Array") -> pa.Table:
+    """Replace-if-present (the kernel's _with_matched convention): chained
+    stages must not grow duplicate same-named columns."""
+    if name in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(name), name, arr)
+    return tbl.append_column(name, arr)
+
+
 def safe_translate_batch(batch: pa.Table, cfg: TranslateConfig,
                          snap: "DictSnapshot",
                          matched_col: Optional[str],
@@ -46,7 +54,7 @@ def safe_translate_batch(batch: pa.Table, cfg: TranslateConfig,
     try:
         out = translate_table(batch, cfg, snap, matched_col)
         # stable schema across batches: error column present even when clean
-        return out.append_column(ERROR_COL, pa.nulls(len(out), pa.string()))
+        return _set_or_append(out, ERROR_COL, pa.nulls(len(out), pa.string()))
     except Exception:
         from ..kernel import translate_row
         rows = batch.to_pylist()
@@ -59,11 +67,23 @@ def safe_translate_batch(batch: pa.Table, cfg: TranslateConfig,
                 matched_flags.append(False)
                 errors.append(str(e)[:200])
         out = pa.Table.from_pylist(rows)
-        # keep original column order/schema where possible
+        # block-schema invariance: from_pylist re-INFERS types (int32→int64,
+        # timestamp[ms]→[us], all-null string→null), which would give the
+        # one failing block a different schema than its clean siblings and
+        # break downstream concat/unification. Cast every pre-existing
+        # column back to its original type; only columns the translate
+        # ADDED (target paths) keep inferred types.
+        for field in batch.schema:
+            if field.name in out.column_names:
+                i = out.column_names.index(field.name)
+                if out.schema.field(i).type != field.type:
+                    import pyarrow.compute as pc
+                    out = out.set_column(
+                        i, field.name, pc.cast(out[field.name], field.type))
         if matched_col is not None:
-            out = out.append_column(matched_col, pa.array(matched_flags))
-        out = out.append_column(ERROR_COL, pa.array(errors, type=pa.string()))
-        return out
+            out = _set_or_append(out, matched_col, pa.array(matched_flags))
+        return _set_or_append(out, ERROR_COL,
+                              pa.array(errors, type=pa.string()))
 
 
 def make_translate_batch_fn(cfg: TranslateConfig, snap_ref: "ray.ObjectRef | DictSnapshot",

@@ -345,7 +345,121 @@ def test_sprintf_timeformat_rejected():
     assert cfg.fallback == "missed %{a}"
 
 
-def test_session_counts_null_ts_no_crash(ray_session):
+def test_write_routed_json_null_routes_and_identical_blocks(
+        ray_session, tmp_path):
+    """Null-route rows must land in the hive null partition (they were
+    silently written NOWHERE: pc.equal(col, None) is an all-null mask that
+    filter drops) and two blocks with byte-identical payloads must yield
+    two files (content-hash-only names collapsed them → row loss)."""
+    import glob
+    import json
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.route import (NULL_ROUTE_DIR,
+                                                            write_routed)
+    blk = pa.table({"route": pa.array(["a", None]),
+                    "v": pa.array([1, 2], type=pa.int64())})
+    ds = rd.from_arrow([blk, blk])        # two identical blocks
+    out = str(tmp_path / "sink")
+    write_routed(ds, out, file_format="json")
+    rows = []
+    for f in glob.glob(f"{out}/route=*/*.jsonl"):
+        with open(f) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert len(rows) == 4                  # nothing dropped
+    null_rows = [r for r in rows if r["route"] is None]
+    assert len(null_rows) == 2
+    assert len(glob.glob(f"{out}/route={NULL_ROUTE_DIR}/*.jsonl")) == 2
+
+
+def test_error_isolation_fallback_preserves_schema(monkeypatch):
+    """The row-level fallback must emit the SAME schema as clean blocks:
+    original column types survive (from_pylist re-inference broke int32 /
+    timestamp[ms] / all-null string) and a chained stage doesn't duplicate
+    translate_error / matched columns."""
+    import logstash_filter_translate_ray.stages.translate_stage as ts
+    from logstash_filter_translate_ray.config import TranslateConfig
+    from logstash_filter_translate_ray.kernel import DictSnapshot
+
+    cfg = TranslateConfig(source="s", target="t", dictionary={"x": "X"})
+    snap = DictSnapshot(cfg.dictionary)
+    tbl = pa.table({
+        "s": pa.array(["x", "y"]),
+        "i32": pa.array([1, 2], type=pa.int32()),
+        "ts": pa.array([1, 2], type=pa.timestamp("ms")),
+        "allnull": pa.array([None, None], type=pa.string()),
+    })
+    real = ts.translate_table
+    clean = ts.safe_translate_batch(tbl, cfg, snap, "translate_matched",
+                                    error_isolation=True)
+    monkeypatch.setattr(ts, "translate_table",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("boom")))
+    fb = ts.safe_translate_batch(tbl, cfg, snap, "translate_matched",
+                                 error_isolation=True)
+    for name in ("i32", "ts", "allnull"):
+        assert fb.schema.field(name).type == tbl.schema.field(name).type, name
+    # chaining: feeding an error-isolated output back through the stage
+    # must not grow a second translate_error / translate_matched column
+    fb2 = ts.safe_translate_batch(fb, cfg, snap, "translate_matched",
+                                  error_isolation=True)
+    assert fb2.column_names.count(ts.ERROR_COL) == 1
+    assert fb2.column_names.count("translate_matched") == 1
+    monkeypatch.setattr(ts, "translate_table", real)
+    clean2 = ts.safe_translate_batch(clean, cfg, snap, "translate_matched",
+                                     error_isolation=True)
+    assert clean2.column_names.count(ts.ERROR_COL) == 1
+
+
+def test_parse_rule_validation_and_casts(ray_session):
+    """Build-time rejection of un-bindable patterns, escaped-paren-safe
+    group injection, cast-typed nulls for missing sources, and
+    replace-not-duplicate on re-parse."""
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    from logstash_filter_translate_ray.stages.parse import (ExtractRule,
+                                                            ParseConfig,
+                                                            _compile_plan,
+                                                            parse_batch)
+    # already-correctly-named group: fine
+    plan = _compile_plan(ParseConfig(rules=(
+        ExtractRule(out="num", source="s", pattern=r"(?P<num>\d+)"),)))
+    out = parse_batch(pa.table({"s": ["a12"]}), plan)
+    assert out["num"].to_pylist() == ["12"]
+    # named to something ELSE: loud build-time error, not a worker crash
+    with pytest.raises(ConfigurationError, match="no unnamed capture"):
+        _compile_plan(ParseConfig(rules=(
+            ExtractRule(out="num", source="s", pattern=r"(?P<other>\d+)"),)))
+    # escaped paren before the real group: injection must skip the literal
+    plan = _compile_plan(ParseConfig(rules=(
+        ExtractRule(out="num", source="s", pattern=r"\(x\) (\d+)"),)))
+    out = parse_batch(pa.table({"s": ["(x) 42"]}), plan)
+    assert out["num"].to_pylist() == ["42"]
+    # missing source honors cast (schema-stable across blocks)
+    plan = _compile_plan(ParseConfig(rules=(
+        ExtractRule(out="n", source="absent", pattern=r"(\d+)",
+                    cast="int64"),)))
+    out = parse_batch(pa.table({"s": ["a"]}), plan)
+    assert out.schema.field("n").type == pa.int64()
+    # re-parsing replaces, never duplicates
+    plan = _compile_plan(ParseConfig(rules=(
+        ExtractRule(out="w", source="s", pattern=r"(\w+)"),)))
+    out = parse_batch(parse_batch(pa.table({"s": ["hi"]}), plan), plan)
+    assert out.column_names.count("w") == 1
+
+
+def test_csv_quoted_empty_vs_unquoted_null(ray_session, tmp_path):
+    """Postgres-style CSV null split: unquoted empty cell → null (absent),
+    quoted \"\" → the empty string (a legal, lookupable tool value)."""
+    from logstash_filter_translate_ray.sources.readers import (
+        read_transcripts_csv)
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        'c1,0,user,hello,,2024-01-01T00:00:00\n'
+        'c1,1,assistant,hi,"",2024-01-01T00:00:01\n')
+    out = read_transcripts_csv(str(p)).to_pandas().sort_values("turn_idx")
+    tools = out["tool"].tolist()
+    assert pd.isna(tools[0])               # unquoted empty → null
+    assert tools[1] == ""                  # quoted "" survives
     """A null ts promotes the epoch array to float64-with-NaN; the int64
     diff buffer raised a casting TypeError. NaN gaps never START a session
     (= the lag-based SQL flag where NULL comparisons are false)."""
