@@ -143,10 +143,22 @@ def _coerce_plain_scalar(text: str) -> Any:
     if text in ("false", "False", "FALSE"):
         return False
     if _INT_RE.match(text):
+        t = text.replace("_", "")
         try:
-            return int(text.replace("_", ""), 0)
+            return int(t, 0)
         except ValueError:
-            pass
+            # int(x, 0) is C-style and rejects bare leading zeros, but
+            # YAML 1.1 (the one_shot SafeLoader) reads '0755' as octal 493
+            # — falling through to the float branch returned 755.0 and
+            # silently diverged from the documented one_shot equality.
+            sign = -1 if t[0] == "-" else 1
+            u = t.lstrip("+-")
+            try:
+                return sign * int(u, 8)
+            except ValueError:
+                # '09' etc.: not octal, not YAML-decimal — one_shot keeps
+                # the STRING, so must the streaming path (never a float)
+                return text
     if _FLOAT_RE.match(text):
         try:
             return float(text.replace("_", ""))

@@ -23,9 +23,18 @@ _SENTINEL = object()
 def parse_field_ref(ref: str) -> list[str | int]:
     """``"[foo][0][baz]"`` → ``["foo", 0, "baz"]``; ``"status"`` → ``["status"]``.
 
-    Integer-looking segments become ints (list indices).
+    Integer-looking segments become ints (list indices). A bracketed ref
+    must be a pure run of ``[seg]`` groups with non-empty segments —
+    ``[foo]bar[baz]`` or ``[]`` silently ADDRESSED THE WRONG FIELD before
+    (findall dropped the stray text); Logstash's strict field-reference
+    parser errors, so we do too (review r4).
     """
     if ref.startswith("[") and ref.endswith("]"):
+        if not re.fullmatch(r"(?:\[[^\[\]]+\])+", ref):
+            from .errors import ConfigurationError
+            raise ConfigurationError(
+                f"malformed field reference {ref!r}: expected "
+                "[seg][seg]... with non-empty segments")
         parts: list[str | int] = []
         for seg in _BRACKET.findall(ref):
             parts.append(int(seg) if re.fullmatch(r"-?\d+", seg) else seg)

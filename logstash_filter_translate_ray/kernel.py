@@ -638,22 +638,35 @@ def _rebuild_struct_with_child(struct_arr: pa.Array, parts: list,
     children = [_as_array(struct_arr.field(i)) for i in range(len(names))]
     parent_null = pc.is_null(struct_arr).to_numpy(zero_copy_only=False)
     if len(parts) == 1:
+        listy = (pa.types.is_list(new_vals.type)
+                 or pa.types.is_large_list(new_vals.type))
         if name in names:
             i = names.index(name)
             old = children[i]
-            if old.type != new_vals.type and not pa.types.is_null(old.type) \
-                    and not pa.types.is_null(new_vals.type):
-                old = _as_array(_cast_to_string(old))
-                new_vals = _as_array(_cast_to_string(new_vals))
-            if pa.types.is_null(old.type):
-                old = pa.nulls(n, new_vals.type)
-            if pa.types.is_null(new_vals.type):
-                new_vals = pa.nulls(n, old.type)
-            children[i] = pc.if_else(pa.array(write_mask), new_vals, old)
+            if listy or pa.types.is_list(old.type) \
+                    or pa.types.is_large_list(old.type):
+                # pc.if_else can't select list values — python splice
+                # (also type-unifies old to new_vals.type)
+                children[i] = _splice_rows(old, new_vals, write_mask)
+            else:
+                if old.type != new_vals.type \
+                        and not pa.types.is_null(old.type) \
+                        and not pa.types.is_null(new_vals.type):
+                    old = _as_array(_cast_to_string(old))
+                    new_vals = _as_array(_cast_to_string(new_vals))
+                if pa.types.is_null(old.type):
+                    old = pa.nulls(n, new_vals.type)
+                if pa.types.is_null(new_vals.type):
+                    new_vals = pa.nulls(n, old.type)
+                children[i] = pc.if_else(pa.array(write_mask), new_vals, old)
         else:
             names.append(name)
-            children.append(pc.if_else(pa.array(write_mask), new_vals,
-                                       _nulls_like(n, new_vals.type)))
+            if listy:
+                children.append(_splice_rows(_nulls_like(n, new_vals.type),
+                                             new_vals, write_mask))
+            else:
+                children.append(pc.if_else(pa.array(write_mask), new_vals,
+                                           _nulls_like(n, new_vals.type)))
     else:
         if name in names and pa.types.is_struct(children[names.index(name)].type):
             i = names.index(name)
@@ -687,7 +700,11 @@ def write_path_column(tbl: pa.Table, ref: str, new_vals: pa.Array,
     head = parts[0]
     if head in tbl.column_names:
         col = _as_array(tbl[head])
-        if not pa.types.is_struct(col.type):
+        if pa.types.is_null(col.type):
+            # an all-null column of NULL type is "every row absent" — the
+            # struct materializes exactly as for a missing column
+            col = pa.nulls(len(tbl), pa.struct([]))
+        elif not pa.types.is_struct(col.type):
             raise ConfigurationError(
                 f"nested target {ref!r}: column {head!r} is {col.type}, not struct")
     else:
@@ -805,19 +822,19 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     n = len(tbl)
     incl = _inclusion_mask(tbl, cfg, cfg.source)
     if not incl.any():
-        # BLOCK-INVARIANT type on the fast path too (review r3): with a
-        # typed dictionary and no fallback, an all-excluded block must
-        # append nulls of the VALUE type — a string-null column here and
-        # int64 in a block with matches crashes pa.concat_tables.
+        # BLOCK-INVARIANT schema on the fast path too (reviews r3 + r4):
+        # an all-excluded block must come out with the SAME schema as a
+        # block with hits — the null target column typed by the VALUE
+        # type, the nested struct child materialized, and an existing
+        # differently-typed target unified exactly as _merge_into_target
+        # would. Route through write_path_column with the all-false mask:
+        # values are untouched, only types/structure unify.
         if cfg.fallback is not None:
             empty_t = pa.string()
         else:
             varr = snap.value_array
             empty_t = varr.type if varr is not None else pa.string()
-        out = _merge_into_target(tbl, cfg.target, incl,
-                                 pa.nulls(n, empty_t)) \
-            if (cfg.target not in tbl.column_names
-                and len(parse_field_ref(cfg.target)) == 1) else tbl
+        out = write_path_column(tbl, cfg.target, pa.nulls(n, empty_t), incl)
         return _with_matched(out, matched_col, incl)
 
     src = coerce_source_column(resolve_path_column(tbl, cfg.source))
@@ -892,21 +909,32 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
     if it_col is None or not incl.any():
         # fast-path element type must match the write path's (review r3):
         # string when a fallback is configured or values unify to string,
-        # else the dictionary's value type
+        # else the dictionary's value type. Same block-invariance routing
+        # as _table_single's fast path (review r4): the list write helper
+        # with an all-false mask unifies an existing target's type and
+        # materializes nested paths without touching values.
         if cfg.fallback is not None:
             elem_t = pa.string()
         else:
             varr = snap.value_array
             elem_t = varr.type if varr is not None else pa.string()
-        out = tbl if cfg.target in tbl.column_names else \
-            tbl.append_column(cfg.target, pa.nulls(n, pa.list_(elem_t)))
+        out = _write_target_list(tbl, cfg.target,
+                                 np.zeros(n, dtype=bool),
+                                 pa.nulls(n, pa.list_(elem_t)))
         return _with_matched(out, matched_col, np.zeros(n, dtype=bool))
 
     col = _as_array(it_col)
     if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
-        # CoerceOther: Array(scalar) — treat each row as a 1-element list
+        # CoerceOther: Ruby Array(scalar) — a 1-element list per row,
+        # EXCEPT Array(nil) == [] (the row oracle's `[] if val is None`):
+        # a null scalar row contributes no element, so under
+        # nil_is_present it writes an empty list and matched stays False
+        valid_np = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        scalars = col if valid_np.all() \
+            else _as_array(col.filter(pa.array(valid_np)))
         col = pa.ListArray.from_arrays(
-            _list_offsets(np.ones(n, dtype=np.int64)), coerce_source_column(col))
+            _list_offsets(valid_np.astype(np.int64)),
+            coerce_source_column(scalars))
     lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     # rows outside the inclusion mask contribute no elements to the kernel
     eff_lens = np.where(incl, lens, 0)
@@ -959,21 +987,19 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
         row_of_eff = np.repeat(np.arange(n), eff_lens)
         np.logical_or.at(row_any, row_of_eff, truthy)
 
-    out = _merge_into_target_list(tbl, cfg.target, incl, new_lists)
+    out = _write_target_list(tbl, cfg.target, incl, new_lists)
     return _with_matched(out, matched_col, incl if cfg.in_place else (row_any & incl))
 
 
 def _merge_into_target_list(tbl: pa.Table, target: str, write_mask: np.ndarray,
                             new_lists: pa.Array) -> pa.Table:
-    """List-typed variant of _merge_into_target (pc.if_else lacks list support)."""
+    """List-typed variant of _merge_into_target (pc.if_else lacks list
+    support). ``target`` is a TOP-LEVEL column name here; nested refs go
+    through :func:`_write_target_list`."""
     if target in tbl.column_names and not write_mask.all():
         existing = _as_array(tbl[target])
         # slow-path splice (rare: list target + partial write)
-        out_py = existing.to_pylist()
-        new_py = new_lists.to_pylist()
-        for i in np.nonzero(write_mask)[0]:
-            out_py[i] = new_py[i]
-        merged = pa.array(out_py, type=new_lists.type)
+        merged = _splice_rows(existing, new_lists, write_mask)
         return tbl.set_column(tbl.column_names.index(target), target, merged)
     if not write_mask.all():
         # null-out non-written rows
@@ -984,6 +1010,55 @@ def _merge_into_target_list(tbl: pa.Table, target: str, write_mask: np.ndarray,
     if target in tbl.column_names:
         return tbl.set_column(tbl.column_names.index(target), target, new_lists)
     return tbl.append_column(target, new_lists)
+
+
+def _splice_rows(old: pa.Array, new_vals: pa.Array,
+                 write_mask: np.ndarray) -> pa.Array:
+    """Row splice via Python objects — the if_else fallback for types
+    Arrow's kernel can't select on (lists); also type-unifies ``old`` to
+    ``new_vals.type`` implicitly. When old elements don't fit the new
+    type (e.g. list<int64> kept rows under a list<string> result), leaf
+    scalars stringify ruby_to_s-style — the same direction the scalar
+    unify branches take; an un-stringifiable reverse mismatch raises."""
+    out_py = old.to_pylist()
+    new_py = new_vals.to_pylist()
+    for i in np.nonzero(write_mask)[0]:
+        out_py[i] = new_py[i]
+    try:
+        return pa.array(out_py, type=new_vals.type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        def conv(v):
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            if v is None or isinstance(v, str):
+                return v
+            return ruby_to_s(v)
+        return pa.array([conv(v) for v in out_py], type=new_vals.type)
+
+
+def _write_target_list(tbl: pa.Table, ref: str, write_mask: np.ndarray,
+                       new_lists: pa.Array) -> pa.Table:
+    """Write a LIST column at a (possibly nested) field reference —
+    write_path_column's list-typed sibling (review r4: a nested target for
+    the values shape used to create a literal top-level column named
+    '[meta][labels]' while the row oracle wrote event['meta']['labels'])."""
+    parts = parse_field_ref(ref)
+    if len(parts) == 1:
+        return _merge_into_target_list(tbl, parts[0], write_mask, new_lists)
+    head = parts[0]
+    if head in tbl.column_names:
+        col = _as_array(tbl[head])
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(tbl), pa.struct([]))   # see write_path_column
+        elif not pa.types.is_struct(col.type):
+            raise ConfigurationError(
+                f"nested target {ref!r}: column {head!r} is {col.type}, not struct")
+    else:
+        col = pa.nulls(len(tbl), pa.struct([]))
+    new_col = _rebuild_struct_with_child(col, parts[1:], new_lists, write_mask)
+    if head in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(head), head, new_col)
+    return tbl.append_column(head, new_col)
 
 
 def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,

@@ -276,12 +276,20 @@ def run_spec(spec: "str | dict") -> "Optional[rd.Dataset]":
         return ds
     if "path" not in out:
         raise ConfigurationError("output requires path")
-    if "route" in s:
-        write_routed(ds, out["path"],
-                     route_col=s.get("route", {}).get("route_col", "route"),
-                     file_format=out.get("format", "parquet"))
-    else:
+    route_col = s.get("route", {}).get("route_col", "route")
+    fmt = out.get("format", "parquet")
+    # the route-partitioned sink only applies while the ROUTED ROWS are
+    # still the result: an aggregate/window clause replaces them with a
+    # reduced frame that has no route column, and write_parquet
+    # partition_cols would crash on it (review r4)
+    if "route" in s and route_col in (ds.schema().names or []):
+        write_routed(ds, out["path"], route_col=route_col, file_format=fmt)
+    elif fmt == "parquet":
         ds.write_parquet(out["path"])
+    elif fmt == "json":
+        ds.write_json(out["path"])
+    else:
+        raise ConfigurationError(f"unsupported output format {fmt!r}")
     return None
 
 
@@ -304,7 +312,10 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
 
     from ..checkpoint import CheckpointStore, ShardManifest
 
-    pre_out = (load_spec(spec).get("output", {}) or {}).get("path")
+    from .transcripts import _shard_inputs
+
+    s = load_spec(spec)
+    pre_out = (s.get("output", {}) or {}).get("path")
     if pre_out and "://" in pre_out:
         # fail FAST: the tmp+swap sink (and the checkpoint store's
         # os.replace manifests) are local-filesystem operations; catching
@@ -313,9 +324,6 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
             f"spec output.path {pre_out!r}: resumable runs support "
             "local paths only (atomic tmp+swap sink); use run_pipeline "
             "for remote URIs")
-    from .transcripts import _shard_inputs
-
-    s = load_spec(spec)
     inp = s.get("input")
     if not inp or "path" not in inp:
         raise ConfigurationError("spec requires input.path")
@@ -391,17 +399,8 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
                 import pandas as _pd
                 final_ds = rd.from_pandas(final_ds)
             import shutil as _shutil
+            # remote URIs already rejected at entry (fail-fast check)
             outp = s["output"]["path"].rstrip("/")
-            if "://" in outp:
-                # the tmp+swap (and the checkpoint store's manifests/
-                # os.replace) are local-filesystem operations; a remote
-                # URI would write the full result to '<uri>.inprogress'
-                # and then crash on the rename — refuse up front. The
-                # non-resumable run_pipeline path handles URI sinks.
-                raise ConfigurationError(
-                    f"spec output.path {outp!r}: resumable runs support "
-                    "local paths only (atomic tmp+swap sink); use "
-                    "run_pipeline for remote URIs")
             if os.path.exists(outp) and not os.path.isdir(outp):
                 raise ConfigurationError(
                     f"spec output.path {outp!r} exists and is not a "

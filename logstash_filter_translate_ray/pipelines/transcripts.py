@@ -198,9 +198,18 @@ def run_pipeline(input_path: "str | list[str]", out_dir: Optional[str] = None,
 def _shard_inputs(input_path: "str | list[str]", shard_files: int) -> list[list[str]]:
     if isinstance(input_path, str):
         if os.path.isdir(input_path):
+            # RECURSE: nested/hive-partitioned layouts (e.g. a previous
+            # route=... fan-out output) must shard like the non-resumable
+            # rd.read_parquet would read them — the top-level-only listing
+            # found zero files and returned a silently-successful empty run
             files = sorted(
-                os.path.join(input_path, f) for f in os.listdir(input_path)
-                if f.endswith(".parquet"))
+                os.path.join(r, f)
+                for r, _dirs, fnames in os.walk(input_path)
+                for f in fnames if f.endswith(".parquet"))
+            if not files:
+                raise FileNotFoundError(
+                    f"no *.parquet files under {input_path!r} — refusing a "
+                    "0-shard (silently empty) resumable run")
         else:
             files = [input_path]
     else:

@@ -124,8 +124,14 @@ def _const(text: str, n: int) -> pa.Array:
 
 
 def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+    if pa.types.is_string(col.type):
         return col
+    if pa.types.is_large_string(col.type):
+        # NORMALIZE, don't pass through: the kernel's type-unification
+        # branches compare types after this call — a large_string that
+        # stays large_string reads as "still different" from string and
+        # the merge falls back to null-wiping unwritten values
+        return pc.cast(col, pa.string())
     if pa.types.is_floating(col.type):
         # Ruby Float#to_s keeps a trailing .0; Arrow cast drops it — go via
         # numpy. NULL vs NaN must come from the Arrow VALIDITY (review r3:

@@ -345,6 +345,144 @@ def test_sprintf_timeformat_rejected():
     assert cfg.fallback == "missed %{a}"
 
 
+def test_streaming_yaml_octal_matches_one_shot():
+    """YAML 1.1 leading-zero octals: one_shot (SafeLoader) reads '0755' as
+    493; the streaming coercion returned float 755.0 (int(x,0) rejects
+    bare leading zeros → float fallthrough). '09' is neither octal nor
+    YAML-decimal → stays a STRING on both paths."""
+    import yaml
+    from logstash_filter_translate_ray.dictionary import (
+        _coerce_plain_scalar, streaming_yaml_pairs)
+    text = "a: 0755\nb: 010\nc: 09\nd: 0x1F\ne: 12\nf: -017\ng: 1.5\n"
+    stream = dict(streaming_yaml_pairs(text))
+    one_shot = yaml.safe_load(text)
+    assert stream == one_shot
+    assert stream["a"] == 493 and stream["b"] == 8
+    assert stream["c"] == "09"
+    assert stream["f"] == -15
+    assert _coerce_plain_scalar("00") == 0
+
+
+def test_kernel_fast_path_schema_matches_hit_blocks():
+    """An all-excluded block must come out with the SAME schema as a block
+    with hits: nested targets materialize the struct child, and an
+    existing differently-typed target unifies — else pa.concat_tables of
+    the two blocks crashes (the r4 block-invariance finding)."""
+    from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                               translate_table)
+    snap = DictSnapshot({"x": "X"})
+    # (a) nested target
+    cfg = TranslateConfig(source="s", target="[meta][cls]",
+                          dictionary={"x": "X"})
+    hit = translate_table(pa.table({"s": ["x"]}), cfg, snap)
+    excl = translate_table(pa.table({"s": pa.array([None], pa.string())}),
+                           cfg, snap)
+    assert hit.schema == excl.schema
+    pa.concat_tables([hit, excl])          # must not raise
+    # (b) existing int64 target + string dict values
+    cfg2 = TranslateConfig(source="s", target="t", dictionary={"x": "X"},
+                           override=True)
+    hit2 = translate_table(pa.table({"s": ["x"],
+                                     "t": pa.array([7], pa.int64())}),
+                           cfg2, snap)
+    excl2 = translate_table(pa.table({"s": pa.array([None], pa.string()),
+                                      "t": pa.array([9], pa.int64())}),
+                            cfg2, snap)
+    assert hit2.schema == excl2.schema
+    merged = pa.concat_tables([hit2, excl2])
+    assert merged["t"].to_pylist() == ["X", "9"]   # excluded value kept
+
+
+def test_values_shape_null_scalar_and_nested_target():
+    """CoerceOther Array(nil) == [] (row-oracle parity under
+    nil_is_present) and a nested target writes the struct child, not a
+    literal '[meta][labels]' column."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from tests.test_kernel import run_both
+    cfg = TranslateConfig(source="v", target="out", iterate_on="v",
+                          dictionary={"a": "A"}, nil_is_present=True)
+    out = run_both(cfg, [{"v": "a"}, {"v": None}, {"v": "zz"}])
+    assert out[0]["out"] == ["A"]
+    assert out[1]["out"] == []             # Array(nil) == [], matched False
+    cfg2 = TranslateConfig(source="v", target="[meta][labels]",
+                           iterate_on="v", dictionary={"a": "A"})
+    out2 = run_both(cfg2, [{"v": ["a", "b"]}, {"v": ["c"]}])
+    assert out2[0]["meta"]["labels"] == ["A", None]
+    assert "[meta][labels]" not in out2[0]
+
+
+def test_maps_shape_large_string_child_kept():
+    """A large_string existing target child must unify (cast), not get
+    null-wiped on unwritten elements (_cast_to_string passed large_string
+    through and the type comparison fell to the nulls branch)."""
+    from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                               translate_table)
+    elems = pa.array([[{"k": "a", "t": "keepme"}, {"k": "zz", "t": "old"}]],
+                     type=pa.list_(pa.struct([("k", pa.string()),
+                                              ("t", pa.large_string())])))
+    tbl = pa.table({"evs": elems})
+    cfg = TranslateConfig(source="k", target="t", iterate_on="evs",
+                          dictionary={"a": "A"}, override=True)
+    out = translate_table(tbl, cfg, DictSnapshot(cfg.dictionary))
+    evs = out["evs"].to_pylist()[0]
+    assert evs[0]["t"] == "A"              # written
+    assert evs[1]["t"] == "old"            # KEPT, not wiped to null
+
+
+def test_shard_inputs_recurses_and_refuses_empty(tmp_path):
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.transcripts import (
+        _shard_inputs)
+    sub = tmp_path / "route=a"
+    sub.mkdir()
+    pq.write_table(pa.table({"x": [1]}), str(sub / "f.parquet"))
+    shards = _shard_inputs(str(tmp_path), 4)
+    assert shards == [[str(sub / "f.parquet")]]
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="0-shard"):
+        _shard_inputs(str(empty), 4)
+
+
+def test_run_spec_aggregate_sink_and_json_format(ray_session, tmp_path):
+    """route + aggregate: the reduced frame has no route column, so the
+    sink writes flat (previously write_parquet(partition_cols=['route'])
+    crashed); format: json without route writes JSONL."""
+    import glob
+    import pyarrow.parquet as pq
+    from logstash_filter_translate_ray.pipelines.spec import run_spec
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.table({
+        "conv_id": ["c1", "c1"], "turn_idx": [0, 1],
+        "role": ["user", "assistant"], "text": ["hi", "yo"],
+        "tool": ["", ""],
+        "ts": pa.array([1, 2], type=pa.timestamp("us"))}), str(src))
+    spec = {"input": {"path": str(src)},
+            "route": {"key": "role", "routes": {"user": "u"},
+                      "default_route": "other"},
+            "aggregate": {"group_by": ["role"]},
+            "output": {"path": str(tmp_path / "agg_out")}}
+    run_spec(spec)
+    got = pq.read_table(str(tmp_path / "agg_out")).to_pylist()
+    assert sorted(r["role"] for r in got) == ["assistant", "user"]
+    spec2 = {"input": {"path": str(src)},
+             "output": {"path": str(tmp_path / "json_out"),
+                        "format": "json"}}
+    run_spec(spec2)
+    files = glob.glob(str(tmp_path / "json_out" / "*"))
+    assert files and all(not f.endswith(".parquet") for f in files)
+
+
+def test_malformed_field_ref_raises():
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    from logstash_filter_translate_ray.fieldref import parse_field_ref
+    assert parse_field_ref("[foo][0][baz]") == ["foo", 0, "baz"]
+    assert parse_field_ref("plain") == ["plain"]
+    for bad in ("[foo]bar[baz]", "[]", "[a][]"):
+        with pytest.raises(ConfigurationError):
+            parse_field_ref(bad)
+
+
 def test_write_routed_json_null_routes_and_identical_blocks(
         ray_session, tmp_path):
     """Null-route rows must land in the hive null partition (they were
