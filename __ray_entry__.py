@@ -172,7 +172,7 @@ def q_translate_iterate_values(sf_dir: str):
         return pa.table({"doc_id": out["doc_id"], "tags_joined": joined})
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def q_route_counts(sf_dir: str):
@@ -214,15 +214,14 @@ def q_agg_value_by_type(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())  # DuckDB round() = ties away from zero
-        t2 = pa.table({"event_type": t["event_type"], "cents": cents})
+        from logstash_filter_translate_ray.stages.aggregate import _cents
+        t2 = pa.table({"event_type": t["event_type"],
+                       "cents": _cents(t["value"])})
         return t2.group_by(["event_type"]).aggregate([("cents", "sum")]) \
             .rename_columns(["event_type", "sum_cents"])
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("event_type").aggregate(Sum("sum_cents", alias_name="sum_cents"))
 
 
@@ -244,9 +243,7 @@ def q_token_count(sf_dir: str):
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 math)."""
     from logstash_filter_translate_ray.functions.similarity import brute_force_topk
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
-        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
-    qv = np.asarray(q["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = _query_vec(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, qv, k=10)
     return out[["vec_id"]]
@@ -572,10 +569,9 @@ def q_agg_minmax(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())  # DuckDB round() = ties away from zero
-        t2 = pa.table({"event_type": t["event_type"], "cents": cents})
+        from logstash_filter_translate_ray.stages.aggregate import _cents
+        t2 = pa.table({"event_type": t["event_type"],
+                       "cents": _cents(t["value"])})
         return t2.group_by(["event_type"]).aggregate(
             [("cents", "min"), ("cents", "max")]) \
             .rename_columns(["event_type", "min_cents", "max_cents"])
@@ -768,8 +764,11 @@ def q_embedding_neardup_lsh(sf_dir: str):
 
 
 def q_transcripts_pipeline(sf_dir: str):
-    """Flagship DAG per-sink counts on deterministic synthetic transcripts
-    (rows-only: the transcript table is not a registered DuckDB view)."""
+    """Flagship DAG per-sink counts on deterministic synthetic transcripts.
+    Oracled since r3 via _transcripts_pipeline_sql(), which PINS the
+    sf0.01 (n=20k) /tmp cache — the scale the driver compares at; this
+    query follows sf_dir, so a comparison at any OTHER sf would mismatch
+    by design (the oracle SQL string cannot be parameterized)."""
     from logstash_filter_translate_ray.pipelines import run_pipeline
     res = run_pipeline(_transcripts_dir(sf_dir))
     return res["sink_counts"]

@@ -89,7 +89,11 @@ class TranslateConfig:
                     "Please set a positive number in `yaml_dictionary_code_point_limit "
                     f"=> {self.yaml_dictionary_code_point_limit}`."
                 )
-        elif self.yaml_dictionary_code_point_limit is not None:
+        elif self.dictionary_path \
+                and self.yaml_dictionary_code_point_limit is not None:
+            # reference scope (translate.rb:196-207): the whole check lives
+            # inside `if @dictionary_path` — an INLINE dictionary with a
+            # stray limit registers fine there, so it must here too
             raise ConfigurationError(
                 "Please remove `yaml_dictionary_code_point_limit` for dictionary "
                 "file in JSON or CSV format"

@@ -17,6 +17,10 @@ Translated:
 - ``(?<name>…)``      → ``(?P<name>…)`` (named group; lookbehind untouched)
 - ``\\k<name>``        → ``(?P=name)`` (named backref)
 - ``[[:alpha:]]`` etc. → ASCII expansions (POSIX bracket classes)
+- inline flag ``m``    → ``s`` (Ruby ``m`` is DOT-ALL — Onigmo MULTILINE —
+  not Python's line-anchor MULTILINE; ``(?m)a.b`` must keep matching
+  "a\\nb"); Onigmo ``a``/``d`` options drop (the shim compiles ``re.ASCII``
+  already)
 
 Passed through (Python 3.11 supports them natively, same semantics):
 possessive quantifiers ``*+ ++ ?+ {m,n}+``, atomic groups ``(?>…)``,
@@ -24,7 +28,9 @@ possessive quantifiers ``*+ ++ ?+ {m,n}+``, atomic groups ``(?>…)``,
 
 Rejected (no faithful Python equivalent):
 ``\\g<…>`` subroutine calls, ``(?~…)`` absence operator, ``\\k<name±n>``
-backrefs with recursion level, negated POSIX classes ``[[:^alpha:]]``.
+backrefs with recursion level, negated POSIX classes ``[[:^alpha:]]``,
+character-class intersection ``[a&&b]`` and nested classes ``[a[bc]]``
+(Python silently parses both as a different class), ``(?u)``.
 """
 
 from __future__ import annotations
@@ -58,6 +64,7 @@ def ruby_regex_to_python(pattern: str) -> str:
     out: list[str] = []
     i, n = 0, len(pattern)
     in_class = False
+    class_opened = -2
     while i < n:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
@@ -105,6 +112,10 @@ def ruby_regex_to_python(pattern: str) -> str:
             out.append(c + nxt)
             i += 2
             continue
+        if in_class and pattern.startswith("&&", i):
+            raise ConfigurationError(
+                "Onigmo character-class intersection '&&' has no Python "
+                "equivalent (Python reads the class completely differently)")
         if in_class and pattern.startswith("[:", i):
             j = pattern.find(":]", i)
             if j != -1:
@@ -119,15 +130,27 @@ def ruby_regex_to_python(pattern: str) -> str:
                 out.append(_POSIX_CLASSES[name])
                 i = j + 2
                 continue
+        if c == "[" and in_class:
+            # Onigmo nests character classes ([a[bc]] is a union); Python
+            # reads the inner '[' as a literal and the class ends at the
+            # FIRST ']' — silent divergence either way, so fail loudly
+            raise ConfigurationError(
+                "'[' inside a character class: Onigmo set nesting has no "
+                r"Python equivalent — escape a literal '[' as '\['")
         if c == "[" and not in_class:
             in_class = True
+            class_opened = i        # ']' right after '[' or '[^' is literal
             out.append(c)
             i += 1
             continue
         if c == "]" and in_class:
-            in_class = False
+            at_start = (i == class_opened + 1
+                        or (i == class_opened + 2
+                            and pattern[class_opened + 1] == "^"))
             out.append(c)
             i += 1
+            if not at_start:        # ']' first-in-class stays a literal
+                in_class = False    # (both dialects agree)
             continue
         if c == "(" and not in_class and pattern.startswith("(?~", i):
             raise ConfigurationError(
@@ -137,6 +160,36 @@ def ruby_regex_to_python(pattern: str) -> str:
             out.append("(?P<")
             i += 3
             continue
+        if c == "(" and not in_class and i + 1 < n and pattern[i + 1] == "?":
+            # inline flag groups: Ruby 'm' means DOT-ALL (Python/RE2 's');
+            # passing it through silently compiled to MULTILINE — the
+            # exact silent divergence this module exists to prevent
+            fm = re.match(r"\(\?([adimsux]+)?(?:-([imx]+))?([):])",
+                          pattern[i:])
+            if fm and (fm.group(1) or fm.group(2)):
+                on, off, close = fm.group(1) or "", fm.group(2) or "", \
+                    fm.group(3)
+                if "u" in on:
+                    raise ConfigurationError(
+                        "Onigmo '(?u)' unicode-class option conflicts with "
+                        "the reference's ASCII matching semantics")
+                if "s" in on:
+                    raise ConfigurationError(
+                        "'(?s)' is not a Ruby (Onigmo) flag — Ruby dot-all "
+                        "is 'm'")
+                # m → s; a/d → drop (the shim already compiles re.ASCII,
+                # Onigmo's default semantics here)
+                on_t = "".join("s" if ch == "m" else ch
+                               for ch in on if ch not in "ad")
+                off_t = "".join("s" if ch == "m" else ch for ch in off)
+                flags = on_t + (f"-{off_t}" if off_t else "")
+                if flags:
+                    out.append(f"(?{flags}{close}")
+                elif close == ":":
+                    out.append("(?:")
+                # flags-only group that translated to nothing: emit nothing
+                i += fm.end()
+                continue
         out.append(c)
         i += 1
     return "".join(out)

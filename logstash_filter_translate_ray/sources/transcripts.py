@@ -104,12 +104,13 @@ def transcripts_parquet_path(n_turns: int, seed: int = 42,
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    tmp = out + ".tmp"
-    # clear any crashed-run leftovers: a stale .tmp generated with a
-    # different n_files would otherwise leak extra part files into the
-    # final rename and _DONE would pin the corruption (review r3)
+    # PER-PROCESS tmp: two concurrent generators (driver + bench, or two
+    # bench runs) must not share a tmp dir, and the loser must never
+    # rmtree the winner's LIVE cache out from under an in-flight read
+    # (review r4) — losers discard their own tmp instead.
+    tmp = out + f".tmp.{os.getpid()}"
     import shutil as _sh
-    _sh.rmtree(tmp, ignore_errors=True)
+    _sh.rmtree(tmp, ignore_errors=True)   # this pid's crashed leftovers
     os.makedirs(tmp, exist_ok=True)
     tbl = make_transcripts(n_turns, seed)
     n_files = max(1, min(n_files, max(1, n_turns // 10_000)))
@@ -120,10 +121,31 @@ def transcripts_parquet_path(n_turns: int, seed: int = 42,
             pq.write_table(part, os.path.join(tmp, f"part-{i:05d}.parquet"),
                            row_group_size=row_group_size)
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.exists(done):
+        # another process finished while we generated — its cache is live
+        # (identical bytes: deterministic seed); keep it, drop ours
+        _sh.rmtree(tmp, ignore_errors=True)
+        return out
     if os.path.exists(out):
-        import shutil
-        shutil.rmtree(out)
-    os.replace(tmp, out)
+        # _DONE missing ⇒ crashed partial from an earlier run — replace it
+        _sh.rmtree(out, ignore_errors=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # lost a publish race after the checks above: os.replace onto the
+        # winner's non-empty dir raises ENOTEMPTY. The winner's copy is
+        # COMPLETE (its rename was atomic) and byte-identical
+        # (deterministic seed), so adopt it — stamping _DONE ourselves
+        # covers the microsecond window before the winner stamps it.
+        _sh.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(out):
+            try:
+                with open(done, "w") as f:
+                    f.write("ok")
+            except OSError:
+                pass
+            return out
+        raise
     with open(done, "w") as f:
         f.write("ok")
     return out

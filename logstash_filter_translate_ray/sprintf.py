@@ -55,13 +55,21 @@ def check_no_timeformat(template: str) -> None:
 
 
 def _to_s(value: Any) -> str:
-    """Ruby-ish to_s for interpolated values."""
+    """Ruby-ish to_s for interpolated values. Containers follow Logstash's
+    StringInterpolation: arrays join with ',' (Ruby Array#join, nil → ''),
+    hashes render as compact JSON (LogStash::Json.dump) — str() gave the
+    Python repr ("['a', 'b']") instead."""
     if value is None:
         return ""
     if isinstance(value, bool):
         return "true" if value else "false"
     if isinstance(value, float) and value.is_integer():
         return f"{value:.1f}"  # Ruby 2.0.to_s == "2.0"
+    if isinstance(value, (list, tuple)):
+        return ",".join(_to_s(v) for v in value)
+    if isinstance(value, dict):
+        import json
+        return json.dumps(value, separators=(",", ":"), default=_to_s)
     return str(value)
 
 
@@ -100,11 +108,15 @@ def sprintf_column(template: str, tbl: pa.Table) -> pa.Array:
 
     from .kernel import resolve_path_column  # nested refs: %{[meta][code]}
 
-    pieces: list[pa.Array] = []
+    # literal segments ride as SCALARS (binary_join_element_wise
+    # broadcasts them): the previous per-batch np.full object arrays
+    # allocated millions of Python string slots per 250k-row block in the
+    # hot enrich path
+    pieces: list = []
+    has_array = False
     pos = 0
     for m in _REF.finditer(template):
-        literal = template[pos : m.start()]
-        pieces.append(_const(literal, n))
+        pieces.append(pa.scalar(template[pos:m.start()], type=pa.string()))
         ref = m.group(1)
         col = tbl[ref] if ref in tbl.column_names else resolve_path_column(tbl, ref)
         if col is not None:
@@ -112,15 +124,15 @@ def sprintf_column(template: str, tbl: pa.Table) -> pa.Array:
             # null → literal %{ref}
             s = pc.if_else(pc.is_valid(s), s, pa.scalar(m.group(0), type=pa.string()))
             pieces.append(s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)
+            has_array = True
         else:
-            pieces.append(_const(m.group(0), n))
+            pieces.append(pa.scalar(m.group(0), type=pa.string()))
         pos = m.end()
-    pieces.append(_const(template[pos:], n))
+    pieces.append(pa.scalar(template[pos:], type=pa.string()))
+    if not has_array:          # every ref unresolved → one constant string
+        text = "".join(p.as_py() for p in pieces)
+        return pa.array(np.full(n, text, dtype=object), type=pa.string())
     return pc.binary_join_element_wise(*pieces, "")
-
-
-def _const(text: str, n: int) -> pa.Array:
-    return pa.array(np.full(n, text, dtype=object), type=pa.string())
 
 
 def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
@@ -151,4 +163,14 @@ def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arr
         s = pc.cast(col, pa.string())
         return pc.replace_substring_regex(s, pattern=r"\.000000$",
                                           replacement="")
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) \
+            or pa.types.is_struct(col.type) or pa.types.is_map(col.type):
+        # containers render through the ROW rule (_to_s: arrays join ',',
+        # hashes compact JSON) — pc.cast(list→string) raises, and the two
+        # sprintf implementations must agree. Python per row, but only for
+        # templates that interpolate a container column (rare).
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.array([None if v is None else _to_s(v)
+                         for v in col.to_pylist()], type=pa.string())
     return pc.cast(col, pa.string())

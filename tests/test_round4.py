@@ -345,6 +345,64 @@ def test_sprintf_timeformat_rejected():
     assert cfg.fallback == "missed %{a}"
 
 
+def test_ruby_regex_m_flag_and_class_constructs():
+    """Ruby inline 'm' is DOT-ALL (Onigmo), not Python MULTILINE — the
+    shim must rewrite it to 's'; class intersection/nesting have no
+    faithful Python form and must reject loudly; ']' first-in-class stays
+    a literal for the scanner."""
+    import re as _re
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    from logstash_filter_translate_ray.regex_dialect import (
+        compile_ruby_regex, ruby_regex_to_python)
+    assert ruby_regex_to_python(r"(?m)a.b") == r"(?s)a.b"
+    assert ruby_regex_to_python(r"(?m:a.b)c") == r"(?s:a.b)c"
+    assert ruby_regex_to_python(r"(?i-m:x)") == r"(?i-s:x)"
+    assert compile_ruby_regex(r"(?m)a.b").search("a\nb")   # Ruby semantics
+    assert ruby_regex_to_python(r"(?i)x") == r"(?i)x"      # i untouched
+    for bad in (r"[a-w&&[^c-g]]", r"[a[bc]]", r"(?u)x", r"(?s)x"):
+        with pytest.raises(ConfigurationError):
+            ruby_regex_to_python(bad)
+    # ']' immediately after '[' or '[^' is a literal in both dialects —
+    # the scanner must not close the class there ('\h' is still in-class)
+    assert ruby_regex_to_python(r"[]\h]") == r"[]0-9a-fA-F]"
+    assert _re.fullmatch(ruby_regex_to_python(r"[]a]"), "]")
+
+
+def test_sprintf_container_rendering():
+    """Arrays interpolate as ','-joined (Logstash StringInterpolation),
+    hashes as compact JSON — identically on the row and column paths
+    (str() gave the Python repr; the column path crashed on list cols)."""
+    from logstash_filter_translate_ray.sprintf import (sprintf_column,
+                                                       sprintf_row)
+    ev = {"tags": ["a", None, "b"], "meta": {"k": 1}}
+    assert sprintf_row("t=%{tags}", ev) == "t=a,,b"
+    assert sprintf_row("m=%{meta}", ev) == 'm={"k":1}'
+    tbl = pa.table({"tags": pa.array([["a", None, "b"], None]),
+                    "meta": pa.array([{"k": 1}, {"k": 2}])})
+    col = sprintf_column("t=%{tags}", tbl).to_pylist()
+    assert col[0] == "t=a,,b"
+    assert col[1] == "t=%{tags}"          # null cell → literal (absent)
+    assert sprintf_column("m=%{meta}", tbl).to_pylist() == \
+        ['m={"k":1}', 'm={"k":2}']
+    # unresolved-only template still returns an n-length constant array
+    out = sprintf_column("x=%{nope}", tbl)
+    assert out.to_pylist() == ["x=%{nope}", "x=%{nope}"]
+
+
+def test_yaml_limit_allowed_with_inline_dictionary():
+    """translate.rb:196-207 scopes the yaml_dictionary_code_point_limit
+    check inside `if @dictionary_path` — an inline dict with a stray limit
+    registers fine; a CSV path with one still errors."""
+    from logstash_filter_translate_ray.config import TranslateConfig
+    from logstash_filter_translate_ray.errors import ConfigurationError
+    cfg = TranslateConfig(source="s", dictionary={"a": "b"},
+                          yaml_dictionary_code_point_limit=1000)
+    assert cfg.yaml_dictionary_code_point_limit == 1000
+    with pytest.raises(ConfigurationError, match="remove"):
+        TranslateConfig(source="s", dictionary_path="/tmp/x.csv",
+                        yaml_dictionary_code_point_limit=1000)
+
+
 def test_streaming_yaml_octal_matches_one_shot():
     """YAML 1.1 leading-zero octals: one_shot (SafeLoader) reads '0755' as
     493; the streaming coercion returned float 755.0 (int(x,0) rejects
