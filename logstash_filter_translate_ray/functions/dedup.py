@@ -261,9 +261,18 @@ def _join_operand(ds, num_partitions: int, n_rows: "Optional[int]" = None):
     Squashing the operand into ``min(num_partitions, count)`` even row
     splits guarantees every block is nonempty. Callers must still
     short-circuit ``count == 0`` — a fully-empty operand cannot deliver a
-    schema at all."""
+    schema at all. A layout that is ALREADY ≤ num_partitions nonempty
+    blocks passes through untouched (per-block rows come from the
+    materialized metadata — no second materialize/repartition pass for
+    the common clean case)."""
     m = ds.materialize()
-    n = m.count() if n_rows is None else n_rows
+    sizes = [md.num_rows for b in m.iter_internal_ref_bundles()
+             for md in b.metadata]
+    if 0 < len(sizes) <= num_partitions \
+            and all(s is not None and s > 0 for s in sizes):
+        return m
+    n = sum(sizes) if all(s is not None for s in sizes) else (
+        m.count() if n_rows is None else n_rows)
     return m.repartition(max(1, min(num_partitions, n))).materialize()
 
 
