@@ -63,6 +63,30 @@ def test_kernel_equals_oracle_array_of_values(d, rows, fallback, strategy):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    d=st.dictionaries(keys, str_values, max_size=6),
+    rows=st.one_of(
+        st.lists(st.one_of(st.none(), st.lists(int_vals, max_size=5)),
+                 min_size=1, max_size=8),
+        st.lists(st.one_of(st.none(), st.lists(str_vals, max_size=5)),
+                 min_size=1, max_size=8),
+        st.lists(int_vals, min_size=1, max_size=8),       # scalar CoerceOther
+    ),
+    fallback=st.one_of(st.none(), st.just("fb")),
+    nil_p=st.booleans(),
+    target=st.sampled_from(["baz", "[meta][labels]", "[a][b][c]"]),
+)
+def test_kernel_equals_oracle_values_nested_target(d, rows, fallback,
+                                                   nil_p, target):
+    """The r4 nested-list write path (values shape × nested target) and
+    Array(nil) == [] under nil_is_present, differentially fuzzed."""
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target=target,
+                          dictionary=d, fallback=fallback,
+                          nil_is_present=nil_p)
+    run_both(cfg, [{"foo": v} for v in rows])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     d=st.dictionaries(keys, str_values, min_size=1, max_size=6),
     rows=st.one_of(
         st.lists(st.lists(st.fixed_dictionaries({"bar": int_vals}),
