@@ -678,11 +678,14 @@ def q_multimodal_real_decode(sf_dir: str):
                          "sample_rate": pa.nulls(len(t), pa.int32())})
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+    # task pool, not actor pool: the pure-numpy codecs have zero init and
+    # the 2-actor pool's spin-up alone measured 1.4 s (4× the whole decode
+    # at sf0.1; see resize_dataset pool="tasks"). 512 × ~9 KB payloads per
+    # batch; real MB-scale media would use DEFAULT_MEDIA_BATCH_SIZE.
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=512)
     out = media.map_batches(
-        ResizeStage, fn_constructor_kwargs=dict(max_side=16,
-                                                use_real_codecs=True),
-        batch_format="pyarrow", batch_size=64, concurrency=2)
+        ResizeStage(max_side=16, use_real_codecs=True),
+        batch_format="pyarrow", batch_size=512)
     return out.select_columns(["media_id", "resized_width",
                                "resized_height"])
 
@@ -788,7 +791,7 @@ def q_multimodal_features(sf_dir: str):
                          "payload": pa.array(payloads, type=pa.binary())})
 
     media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=None)
-    return decode_features_dataset(media, concurrency=2).select_columns(
+    return decode_features_dataset(media).select_columns(
         ["media_id", "payload_bytes", "payload_digest"])
 
 

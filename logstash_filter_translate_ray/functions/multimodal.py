@@ -322,7 +322,18 @@ def frame_sample_plan(n_frames: int, every: int = 10) -> list[int]:
 
 def decode_features_dataset(ds, concurrency: int = 2,
                             batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
-                            use_real_codecs: bool = False):
+                            use_real_codecs: bool = False,
+                            pool: str = "tasks"):
+    """``pool="tasks"`` (default) ships a pre-built stage INSTANCE per
+    task — the pure-numpy codecs have zero per-worker init, and the actor
+    pool's spin-up alone measured 1.4 s on a 32-CPU box (4× the whole
+    5000-payload decode). Flip to ``pool="actors"`` when a real codec
+    library (PIL/ffmpeg) loads in ``__init__`` — then ``concurrency``
+    sizes the pool and the library loads once per actor."""
+    if pool == "tasks":
+        return ds.map_batches(
+            DecodeFeatureStage(use_real_codecs=use_real_codecs),
+            batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
         DecodeFeatureStage,
         fn_constructor_kwargs=dict(use_real_codecs=use_real_codecs),
@@ -332,7 +343,13 @@ def decode_features_dataset(ds, concurrency: int = 2,
 
 def resize_dataset(ds, max_side: int = 256, concurrency: int = 2,
                    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
-                   use_real_codecs: bool = False):
+                   use_real_codecs: bool = False,
+                   pool: str = "tasks"):
+    """Same ``pool`` contract as :func:`decode_features_dataset`."""
+    if pool == "tasks":
+        return ds.map_batches(
+            ResizeStage(max_side=max_side, use_real_codecs=use_real_codecs),
+            batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
         ResizeStage,
         fn_constructor_kwargs=dict(max_side=max_side,

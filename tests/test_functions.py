@@ -143,6 +143,26 @@ def test_multimodal_resize_stage(ray_session):
     assert (out[["resized_width", "resized_height"]].max(axis=1) <= 128).all()
 
 
+def test_multimodal_pool_modes_equivalent(ray_session):
+    """pool="tasks" (instance shipped per task; default — the numpy codecs
+    have zero init and the actor pool's spin-up measured 1.4 s alone) and
+    pool="actors" (class + concurrency, the heavy-codec-library shape)
+    must produce identical rows."""
+    import ray.data as rd
+    media = multimodal.make_fake_media(60)
+    key = ["media_id"]
+    for fn, cols in [
+            (multimodal.decode_features_dataset,
+             ["media_id", "payload_bytes", "payload_digest"]),
+            (lambda ds, **kw: multimodal.resize_dataset(ds, max_side=96, **kw),
+             ["media_id", "resized_width", "resized_height"])]:
+        a = fn(rd.from_arrow(media), pool="tasks").to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = fn(rd.from_arrow(media), pool="actors", concurrency=1) \
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        assert a[cols].equals(b[cols])
+
+
 def test_multimodal_real_codecs_gated():
     """The gate is now per-PAYLOAD: uncompressed formats decode for real,
     compressed codec payloads still raise clearly."""
