@@ -244,14 +244,20 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
             ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         cents = _cents(t[val]).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        # every key in the data appears in the stats (computed on the same
-        # dataset), so index_in never yields null here
-        idx = pc.index_in(t[key], value_set=keys_arr) \
+        # a NULL key never reaches the z computation: the stats merge drops
+        # the null group (pandas dropna) exactly like the oracle's inner
+        # ``JOIN st USING (key)`` drops null-key rows, so index_in yields
+        # null for them — mask those rows out instead of letting the
+        # NaN→int64 cast fabricate an index (it is platform-UB and was an
+        # IndexError/garbage-z on null-keyed inputs)
+        idx_arr = pc.index_in(t[key], value_set=keys_arr)
+        has_stats = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(idx_arr, 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         ms, ss = ms_all[idx], ss_all[idx]
         with np.errstate(divide="ignore", invalid="ignore"):
             z = (cents - ms) / ss
-        keep = np.abs(z) > threshold
+        keep = has_stats & (np.abs(z) > threshold)
         out = pa.table({id_col: t[id_col], key: t[key],
                         "z": pa.array(z)})
         return out.filter(pa.array(keep & np.isfinite(z)))
