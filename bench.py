@@ -83,11 +83,17 @@ def run_bench(scaling_mode: bool = False) -> dict:
     sink_counts(dag())
 
     if scaling_mode:
-        # compute DAG consumed by the per-sink aggregate (see module doc)
-        t0 = time.perf_counter()
-        routes = sink_counts(dag(), by=["tool_label"])
-        headline = time.perf_counter() - t0
-        assert int(routes["n"].sum()) == n_turns
+        # compute DAG consumed by the per-sink aggregate (see module doc);
+        # min of 2 timed passes INSIDE the fresh session — same documented
+        # min policy as the headline/per-query suite, so a single noisy
+        # pass (shared-host drift) can't distort one level of the ratio
+        headline = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            routes = sink_counts(dag(), by=["tool_label"])
+            elapsed = time.perf_counter() - t0
+            assert int(routes["n"].sum()) == n_turns
+            headline = elapsed if headline is None else min(headline, elapsed)
         result = {"value": round(headline, 4), "turns": n_turns,
                   "num_cpus": NUM_CPUS, "sf": sf,
                   "turns_per_sec": round(n_turns / headline, 1)}
