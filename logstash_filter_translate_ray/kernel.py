@@ -581,18 +581,33 @@ def _lookup(strategy: str, src: pa.Array, snap: DictSnapshot,
 
 
 def _materialize_values(matched: np.ndarray, idx: np.ndarray, snap: DictSnapshot,
-                        fallback_np: Optional[np.ndarray]) -> pa.Array:
+                        fallback_np: Optional[np.ndarray],
+                        unify: bool = False) -> pa.Array:
     """Python-object path for dictionaries whose values don't unify to one
-    Arrow type: deep-typed values for matched rows, fallback strings (if
-    any) for the rest; the batch's actually-written values must unify."""
+    Arrow type. With ``unify`` (set whenever a fallback is configured — the
+    same dataset-invariant trigger as the vector branches, SURVEY §8):
+    matched values stringify Logstash-style and the column is string, so
+    the output type cannot depend on block composition. Without it (no
+    fallback), deep-typed values are written and the batch's
+    actually-written values must unify."""
     n = len(matched)
     out = np.full(n, None, dtype=object)
     vals = snap.values
-    for i in np.nonzero(matched)[0]:
-        out[i] = vals[idx[i]]
+    if unify:
+        from .sprintf import _to_s
+        for i in np.nonzero(matched)[0]:
+            v = vals[idx[i]]
+            # null dict value stays null — parity with the vector unify
+            # branch, where cast keeps the slot null instead of ""
+            out[i] = None if v is None else _to_s(v)
+    else:
+        for i in np.nonzero(matched)[0]:
+            out[i] = vals[idx[i]]
     if fallback_np is not None:
         miss = ~matched
         out[miss] = fallback_np[miss]
+    if unify:
+        return pa.array(out.tolist(), type=pa.string())
     try:
         return pa.array(out.tolist())
     except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
@@ -899,7 +914,8 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     if vals is None:
         if fb_static:
             fb_np = np.full(n, cfg.fallback, dtype=object)
-        new_vals = _materialize_values(matched, idx, snap, fb_np)
+        new_vals = _materialize_values(matched, idx, snap, fb_np,
+                                       unify=cfg.fallback is not None)
         write_mask = incl if cfg.fallback is not None else matched
     elif fb_needed:
         if not pa.types.is_string(vals.type) and not pa.types.is_null(vals.type):
@@ -996,7 +1012,8 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
     # always unify (the element type must not depend on block composition).
     fb_needed = fb_flat is not None
     if f_vals is None:
-        elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat)
+        elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat,
+                                        unify=fb_needed)
     elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))
@@ -1152,7 +1169,8 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
     fb_needed = fb_flat is not None
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap,
-                                        fb_flat if fb_flat is not None else None)
+                                        fb_flat if fb_flat is not None else None,
+                                        unify=fb_needed)
     elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))

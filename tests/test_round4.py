@@ -811,3 +811,41 @@ def test_zscore_outliers_null_key_rows_dropped_like_oracle(ray_session):
     assert list(g["event_id"]) == list(w["event_id"])
     np.testing.assert_allclose(g["z"].to_numpy(), w["z"].to_numpy(),
                                rtol=1e-12)
+
+
+def test_heterogeneous_dict_with_fallback_unifies_to_string():
+    """The block-invariant fallback-unify rule (SURVEY §8) must also hold
+    when the dictionary's values DON'T unify to one Arrow type (value_array
+    is None → the Python materialize path): fuzz found {'0': '', '1': 0}
+    with a fallback raising ConfigurationError instead of stringifying.
+    All three shapes route through _materialize_values."""
+    from logstash_filter_translate_ray import TranslateConfig
+    from tests.test_kernel import run_both
+
+    het = {"0": "", "1": 0, "2": True, "3": 2.0}
+    # scalar shape — the original falsifying example plus typed extras
+    cfg = TranslateConfig(source="s", target="t", dictionary=het,
+                          fallback="fb")
+    out = run_both(cfg, [{"s": v} for v in
+                         [None, "1", "0", "2", "3", "miss"]])
+    assert [r.get("t") for r in out] == [None, "0", "", "true", "2.0", "fb"]
+
+    # iterate_values shape
+    cfg = TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                          dictionary=het, fallback="fb")
+    out = run_both(cfg, [{"foo": ["1", "miss", "3"]}, {"foo": None}])
+    assert out[0]["baz"] == ["0", "fb", "2.0"]
+
+    # iterate_maps shape
+    cfg = TranslateConfig(source="[src]", iterate_on="maps", target="[dst]",
+                          dictionary=het, fallback="fb")
+    out = run_both(cfg, [{"maps": [{"src": "1"}, {"src": "miss"}]}])
+    assert [m["dst"] for m in out[0]["maps"]] == ["0", "fb"]
+
+    # no fallback: the typed path is unchanged (heterogeneous writes in one
+    # batch still raise the documented columnar-constraint error)
+    import pytest
+    from logstash_filter_translate_ray import ConfigurationError
+    cfg = TranslateConfig(source="s", target="t", dictionary=het)
+    with pytest.raises(ConfigurationError, match="must unify"):
+        run_both(cfg, [{"s": "1"}, {"s": "0"}])
