@@ -69,8 +69,23 @@ def _to_s(value: Any) -> str:
         return ",".join(_to_s(v) for v in value)
     if isinstance(value, dict):
         import json
-        return json.dumps(value, separators=(",", ":"), default=_to_s)
+        # null members are ABSENT under the engine's null ⇔ absent
+        # convention (a struct child that was never written materializes
+        # as None in to_pylist) — render {} not {"x":null}, recursively,
+        # so the row and column sprintf agree. List slots keep nils
+        # (Ruby Array#join renders nil as '').
+        return json.dumps(_strip_null_members(value),
+                          separators=(",", ":"), default=_to_s)
     return str(value)
+
+
+def _strip_null_members(v: Any) -> Any:
+    if isinstance(v, dict):
+        return {k: _strip_null_members(x) for k, x in v.items()
+                if x is not None}
+    if isinstance(v, (list, tuple)):
+        return [_strip_null_members(x) for x in v]
+    return v
 
 
 def sprintf_row(template: str, event: dict) -> str:

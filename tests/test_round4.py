@@ -849,3 +849,25 @@ def test_heterogeneous_dict_with_fallback_unifies_to_string():
     cfg = TranslateConfig(source="s", target="t", dictionary=het)
     with pytest.raises(ConfigurationError, match="must unify"):
         run_both(cfg, [{"s": "1"}, {"s": "0"}])
+
+
+def test_sprintf_container_null_members_absent_both_paths():
+    """null ⇔ absent applies INSIDE containers too: a struct child that was
+    never written materializes as a None member in to_pylist, and both
+    sprintf implementations must render it as absent ({} not {"x":null},
+    recursively). Found by differential fuzz (%{stru} over a struct column
+    with a null child). List slots keep nils (Ruby Array#join → '')."""
+    import pyarrow as pa
+    from logstash_filter_translate_ray.sprintf import (sprintf_column,
+                                                       sprintf_row)
+
+    tbl = pa.table({"stru": pa.array(
+        [{"x": None}, {"x": "m"}, None],
+        type=pa.struct([("x", pa.string())]))})
+    got = sprintf_column("v=%{stru}", tbl).to_pylist()
+    assert got == ['v={}', 'v={"x":"m"}', "v=%{stru}"]
+    assert sprintf_row("v=%{stru}", {"stru": {"x": None}}) == "v={}"
+    # recursive: nested dict members strip too; list slots keep nil as ''
+    assert sprintf_row("%{d}", {"d": {"a": {"b": None, "c": 1},
+                                      "l": ["p", None, "q"]}}) \
+        == '{"a":{"c":1},"l":["p",null,"q"]}'
