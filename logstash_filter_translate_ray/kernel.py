@@ -31,10 +31,14 @@ Semantic fine print implemented (SURVEY §2.5):
  S11 dictionary values keep their type and never alias (deep-cloned)
  S15 matched ⇔ a write happened (lookup or fallback) or in-place mode
 
-Columnar constraint (documented deviation): within one batch the written
-target values must unify to a single Arrow type; heterogeneous dictionaries
-work as long as the *values actually written in a batch* unify (the row
-oracle has no such constraint).
+Columnar constraint (documented deviation): a single-typed Arrow column
+cannot hold heterogeneous Ruby objects, so the written target type is
+decided by DATASET-invariant facts only (never by which rows share a
+block): values that unify to one Arrow type keep it; a fallback, or a
+dictionary whose values DON'T unify (``value_array is None``), switches
+the whole column to string with Logstash-style stringification (the row
+oracle writes raw objects; differential tests compare through ruby_to_s
+in that case).
 """
 
 from __future__ import annotations
@@ -581,40 +585,29 @@ def _lookup(strategy: str, src: pa.Array, snap: DictSnapshot,
 
 
 def _materialize_values(matched: np.ndarray, idx: np.ndarray, snap: DictSnapshot,
-                        fallback_np: Optional[np.ndarray],
-                        unify: bool = False) -> pa.Array:
-    """Python-object path for dictionaries whose values don't unify to one
-    Arrow type. With ``unify`` (set whenever a fallback is configured — the
-    same dataset-invariant trigger as the vector branches, SURVEY §8):
-    matched values stringify Logstash-style and the column is string, so
-    the output type cannot depend on block composition. Without it (no
-    fallback), deep-typed values are written and the batch's
-    actually-written values must unify."""
+                        fallback_np: Optional[np.ndarray]) -> pa.Array:
+    """String-unify path for dictionaries whose values DON'T unify to one
+    Arrow type (``value_array is None``): matched values stringify
+    Logstash-style and the column is string. This is dataset-invariant —
+    decided by the dictionary alone, never by which rows share a block —
+    extending the documented fallback-unify deviation (SURVEY §8): a
+    single-typed Arrow column cannot hold heterogeneous Ruby objects, and
+    the pre-r4 typed writes drifted across blocks (int64 from an all-int
+    block, string from a mixed one → ArrowInvalid at concat) or raised a
+    block-composition-DEPENDENT ConfigurationError."""
     n = len(matched)
     out = np.full(n, None, dtype=object)
     vals = snap.values
-    if unify:
-        from .sprintf import _to_s
-        for i in np.nonzero(matched)[0]:
-            v = vals[idx[i]]
-            # null dict value stays null — parity with the vector unify
-            # branch, where cast keeps the slot null instead of ""
-            out[i] = None if v is None else _to_s(v)
-    else:
-        for i in np.nonzero(matched)[0]:
-            out[i] = vals[idx[i]]
+    from .sprintf import _to_s
+    for i in np.nonzero(matched)[0]:
+        v = vals[idx[i]]
+        # null dict value stays null — parity with the vector unify
+        # branch, where cast keeps the slot null instead of ""
+        out[i] = None if v is None else _to_s(v)
     if fallback_np is not None:
         miss = ~matched
         out[miss] = fallback_np[miss]
-    if unify:
-        return pa.array(out.tolist(), type=pa.string())
-    try:
-        return pa.array(out.tolist())
-    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
-        raise ConfigurationError(
-            "dictionary values written in one batch must unify to a single "
-            f"Arrow type (columnar constraint): {e}"
-        )
+    return pa.array(out.tolist(), type=pa.string())
 
 
 # --------------------------------------------------------------------------
@@ -710,6 +703,7 @@ def _rebuild_struct_with_child(struct_arr: pa.Array, parts: list,
                 children[i] = pc.if_else(pa.array(write_mask), new_vals, old)
         else:
             names.append(name)
+            new_vals = _fresh_null_to_string(new_vals, n)
             if listy:
                 children.append(_splice_rows(_nulls_like(n, new_vals.type),
                                              new_vals, write_mask))
@@ -764,6 +758,21 @@ def write_path_column(tbl: pa.Table, ref: str, new_vals: pa.Array,
     return tbl.append_column(head, new_col)
 
 
+def _fresh_null_to_string(arr: pa.Array, n: int) -> pa.Array:
+    """Type a FRESH (no pre-existing) target written from a null-typed
+    batch result as STRING — the fast paths' `value_array is None → string`
+    choice — so an all-miss/all-excluded block cannot drift from its
+    siblings at concat (review r4 fuzz). Existing targets instead keep
+    their old type via the null-signal branches of the merge helpers."""
+    t = arr.type
+    if pa.types.is_null(t):
+        return pa.nulls(n, pa.string())
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) \
+            and pa.types.is_null(t.value_type):
+        return arr.cast(pa.list_(pa.string()))
+    return arr
+
+
 def _merge_into_target(tbl: pa.Table, target: str, write_mask: np.ndarray,
                        new_vals: pa.Array) -> pa.Table:
     """Write ``new_vals`` into column ``target`` where ``write_mask``,
@@ -784,6 +793,7 @@ def _merge_into_target(tbl: pa.Table, target: str, write_mask: np.ndarray,
         merged = pc.if_else(mask_arr, new_vals, existing)
         i = tbl.column_names.index(target)
         return tbl.set_column(i, target, merged)
+    new_vals = _fresh_null_to_string(new_vals, n)
     merged = pc.if_else(mask_arr, new_vals, _nulls_like(n, new_vals.type))
     return tbl.append_column(target, merged)
 
@@ -878,7 +888,10 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
         # differently-typed target unified exactly as _merge_into_target
         # would. Route through write_path_column with the all-false mask:
         # values are untouched, only types/structure unify.
-        if cfg.fallback is not None:
+        if cfg.fallback is not None or cfg.strategy == "regex_union":
+            # regex_union writes the gsub STRING result regardless of the
+            # dictionary's value types (review r4 fuzz: a bool-valued dict
+            # typed this fast path bool while hit blocks wrote string)
             empty_t = pa.string()
         else:
             varr = snap.value_array
@@ -914,8 +927,7 @@ def _table_single(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot,
     if vals is None:
         if fb_static:
             fb_np = np.full(n, cfg.fallback, dtype=object)
-        new_vals = _materialize_values(matched, idx, snap, fb_np,
-                                       unify=cfg.fallback is not None)
+        new_vals = _materialize_values(matched, idx, snap, fb_np)
         write_mask = incl if cfg.fallback is not None else matched
     elif fb_needed:
         if not pa.types.is_string(vals.type) and not pa.types.is_null(vals.type):
@@ -963,7 +975,8 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
         # as _table_single's fast path (review r4): the list write helper
         # with an all-false mask unifies an existing target's type and
         # materializes nested paths without touching values.
-        if cfg.fallback is not None:
+        if cfg.fallback is not None or cfg.strategy == "regex_union":
+            # regex_union: gsub always writes strings (see _table_single)
             elem_t = pa.string()
         else:
             varr = snap.value_array
@@ -1012,8 +1025,7 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
     # always unify (the element type must not depend on block composition).
     fb_needed = fb_flat is not None
     if f_vals is None:
-        elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat,
-                                        unify=fb_needed)
+        elem_vals = _materialize_values(f_matched, f_idx, snap, fb_flat)
     elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))
@@ -1032,7 +1044,9 @@ def _table_array_of_values(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapsh
     truthy = pc.is_valid(elem_vals).to_numpy(zero_copy_only=False).copy()
     if pa.types.is_boolean(elem_vals.type):
         bools = elem_vals.to_numpy(zero_copy_only=False)
-        truthy &= np.asarray([bool(b) for b in bools])
+        # dtype=bool: an EMPTY listcomp otherwise infers float64 and the
+        # bool &= float64 bitwise_and raises on zero-element blocks
+        truthy &= np.asarray([bool(b) for b in bools], dtype=bool)
     row_any = np.zeros(n, dtype=bool)
     if truthy.any():
         row_of_eff = np.repeat(np.arange(n), eff_lens)
@@ -1047,6 +1061,23 @@ def _merge_into_target_list(tbl: pa.Table, target: str, write_mask: np.ndarray,
     """List-typed variant of _merge_into_target (pc.if_else lacks list
     support). ``target`` is a TOP-LEVEL column name here; nested refs go
     through :func:`_write_target_list`."""
+    if (pa.types.is_list(new_lists.type)
+            or pa.types.is_large_list(new_lists.type)) \
+            and pa.types.is_null(new_lists.type.value_type):
+        # list<null> result (nothing written this batch): keep an existing
+        # target's element type, else the fast paths' string choice — a
+        # null-element block would drift from its siblings at concat, and
+        # _splice_rows would force kept rows into the null type (review r4
+        # fuzz)
+        if target in tbl.column_names:
+            ex_t = _as_array(tbl[target]).type
+            if (pa.types.is_list(ex_t) or pa.types.is_large_list(ex_t)) \
+                    and not pa.types.is_null(ex_t.value_type):
+                new_lists = new_lists.cast(ex_t)
+            else:
+                new_lists = new_lists.cast(pa.list_(pa.string()))
+        else:
+            new_lists = new_lists.cast(pa.list_(pa.string()))
     if target in tbl.column_names and not write_mask.all():
         existing = _as_array(tbl[target])
         # slow-path splice (rare: list target + partial write)
@@ -1129,10 +1160,20 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
             "only)")
     # inclusion ignores override (array_of_maps_value_update.rb:14-16)
     incl = _inclusion_mask(tbl, cfg, it, check_override=False)
-    if it not in tbl.column_names or not incl.any():
+    if it not in tbl.column_names:
         return _with_matched(tbl, matched_col, np.zeros(n, dtype=bool))
+    # NO `not incl.any()` early return (review r4 fuzz): an all-excluded
+    # block must still rebuild the struct with the target child — the
+    # untouched schema (no ``dst``) drifted from sibling blocks at concat.
+    # The normal path is O(0 elements) for such blocks, and the typed
+    # empty lookup keeps the child type block-invariant.
 
     col = _as_array(tbl[it])
+    if pa.types.is_null(col.type):
+        # an all-null block materializes as a null-TYPED column in
+        # hand-built tables (a real Dataset keeps the schema's list<struct>
+        # and takes the normal path) — nothing to iterate, not a type error
+        return _with_matched(tbl, matched_col, np.zeros(n, dtype=bool))
     if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
         raise ConfigurationError(
             f"iterate_on column {it!r} must be list<struct>, got {col.type}")
@@ -1169,8 +1210,7 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
     fb_needed = fb_flat is not None
     if f_vals is None:
         elem_vals = _materialize_values(f_matched, f_idx, snap,
-                                        fb_flat if fb_flat is not None else None,
-                                        unify=fb_needed)
+                                        fb_flat if fb_flat is not None else None)
     elif fb_needed:
         if not pa.types.is_string(f_vals.type) and not pa.types.is_null(f_vals.type):
             f_vals = _as_array(_cast_to_string(f_vals))
@@ -1208,7 +1248,7 @@ def _table_array_of_maps(tbl: pa.Table, cfg: TranslateConfig, snap: DictSnapshot
         arrays[ti] = merged
     else:
         names.append(target_name)
-        arrays.append(elem_vals)
+        arrays.append(_fresh_null_to_string(elem_vals, len(flat)))
     elem_null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
     new_flat = pa.StructArray.from_arrays(
         arrays, names, mask=pa.array(elem_null_mask))

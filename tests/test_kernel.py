@@ -33,12 +33,13 @@ def run_both(cfg, rows, dictionary=None):
     out_rows = out.to_pylist()
     k_matched = [r.pop("translate_matched") for r in out_rows]
     assert k_matched == oracle_matched, (k_matched, oracle_matched)
-    # Documented columnar deviation (SURVEY §8): fallback + non-string dict
-    # values ⇒ the kernel unifies the whole column to string (block-invariant
-    # output type); the oracle writes heterogeneous Ruby objects. Compare
-    # through ruby_to_s in that case.
+    # Documented columnar deviation (SURVEY §8): non-string dict values
+    # with a fallback OR a dictionary whose values don't unify to one
+    # Arrow type ⇒ the kernel unifies the whole column to string
+    # (block-invariant output type); the oracle writes heterogeneous Ruby
+    # objects. Compare through ruby_to_s in that case.
     d = dictionary if dictionary is not None else cfg.dictionary
-    unify = cfg.fallback is not None and any(
+    unify = (cfg.fallback is not None or snap.value_array is None) and any(
         v is not None and not isinstance(v, str) for v in (d or {}).values())
     for kr, orr in zip(out_rows, oracle_rows):
         for key, val in orr.items():
@@ -663,9 +664,19 @@ def test_typed_dict_no_fallback_all_excluded_block_type():
 
 def test_maps_pass_through_keeps_existing_child():
     """Review r3: non-unifying dict values (value_array None) + a batch
-    with zero element writes must NOT wipe an existing target child."""
+    with zero element writes must NOT wipe an existing target child.
+    Since the r4 dataset-invariant unify rule the child is STRING whenever
+    the dictionary is heterogeneous (the pre-r4 'keep int in no-match
+    blocks' behavior was block-composition-dependent: a matching block
+    coerced or crashed), so the preserved value survives as its string
+    form."""
     cfg = TranslateConfig(source="bar", iterate_on="foo", target="label",
                           dictionary={"a": 1, "b": "two"})
+    out = run_both(cfg, [{"foo": [{"bar": "nomatch", "label": 7}]}])
+    assert out[0]["foo"][0]["label"] == "7"
+    # homogeneous typed dicts still pass existing children through untouched
+    cfg = TranslateConfig(source="bar", iterate_on="foo", target="label",
+                          dictionary={"a": 1, "b": 2})
     out = run_both(cfg, [{"foo": [{"bar": "nomatch", "label": 7}]}])
     assert out[0]["foo"][0]["label"] == 7
 

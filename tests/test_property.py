@@ -204,3 +204,67 @@ def test_kernel_equals_oracle_nil_is_present_nested(d, codes, metas,
         else:
             rows.append({"meta": {"code": c, "cls": None}})
     run_both(cfg, rows)
+
+
+# ---------------------------------------------------------------------------
+# Block-composition invariance (review r4): translating a table in one
+# piece must equal translating slices and concatenating — same schema
+# (types!), same values. This is the recurring bug class behind the
+# all-excluded fast paths, fallback unify and large_string fixes.
+# ---------------------------------------------------------------------------
+
+_bc_cell = st.one_of(st.none(), st.text(
+    alphabet=string.ascii_lowercase + "01é", max_size=8))
+_bc_vals = st.one_of(st.none(), st.text(
+    alphabet=string.ascii_lowercase + "01", max_size=8),
+    st.integers(-99, 99), st.booleans())
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.data(),
+    d=st.dictionaries(keys, _bc_vals, max_size=6),
+    rows=st.lists(_bc_cell, min_size=1, max_size=20),
+    shape=st.sampled_from(["single", "values", "maps"]),
+    strategy=st.sampled_from(["exact", "exact_regex", "regex_union"]),
+    fallback=st.one_of(st.none(), st.just("fb"), st.just("%{s}-x")),
+    override=st.booleans(),
+    nilp=st.booleans(),
+    nested=st.booleans(),
+)
+def test_block_composition_invariant(data, d, rows, shape, strategy,
+                                     fallback, override, nilp, nested):
+    n = len(rows)
+    if shape == "single":
+        tbl = pa.table({"s": pa.array(rows, type=pa.string())})
+        cfg = TranslateConfig(
+            source="s", target="[meta][t]" if nested else "t", dictionary=d,
+            fallback=fallback, override=override, nil_is_present=nilp,
+            exact=strategy != "regex_union", regex=strategy == "exact_regex")
+    elif shape == "values":
+        lists = [None if v is None else [v, None, v + "x"] for v in rows]
+        tbl = pa.table({"foo": pa.array(lists, type=pa.list_(pa.string())),
+                        "s": pa.array(rows, type=pa.string())})
+        cfg = TranslateConfig(
+            source="foo", iterate_on="foo", target="baz", dictionary=d,
+            fallback=fallback, nil_is_present=nilp,
+            exact=strategy != "regex_union", regex=strategy == "exact_regex")
+    else:
+        maps = [None if v is None else [{"src": v}, {"src": None}]
+                for v in rows]
+        tbl = pa.table({"maps": pa.array(
+            maps, type=pa.list_(pa.struct([("src", pa.string())]))),
+            "s": pa.array(rows, type=pa.string())})
+        cfg = TranslateConfig(
+            source="[src]", iterate_on="maps", target="[dst]", dictionary=d,
+            fallback=fallback,
+            exact=strategy != "regex_union", regex=strategy == "exact_regex")
+    snap = DictSnapshot(d)
+    whole = translate_table(tbl, cfg, snap)
+    pts = sorted(set([0, n] + data.draw(
+        st.lists(st.integers(0, n), max_size=4))))
+    parts = [translate_table(tbl.slice(lo, hi - lo), cfg, snap)
+             for lo, hi in zip(pts, pts[1:])]
+    cat = pa.concat_tables(parts)   # raises on schema drift
+    assert cat.schema.equals(whole.schema), (cat.schema, whole.schema)
+    assert cat.to_pylist() == whole.to_pylist()

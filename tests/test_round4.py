@@ -842,13 +842,13 @@ def test_heterogeneous_dict_with_fallback_unifies_to_string():
     out = run_both(cfg, [{"maps": [{"src": "1"}, {"src": "miss"}]}])
     assert [m["dst"] for m in out[0]["maps"]] == ["0", "fb"]
 
-    # no fallback: the typed path is unchanged (heterogeneous writes in one
-    # batch still raise the documented columnar-constraint error)
-    import pytest
-    from logstash_filter_translate_ray import ConfigurationError
+    # no fallback: heterogeneous dicts ALSO stringify (dataset-invariant —
+    # the pre-r4 typed writes drifted across blocks: int64 from an all-int
+    # block vs string from a mixed one, or a block-composition-dependent
+    # ConfigurationError when one batch mixed)
     cfg = TranslateConfig(source="s", target="t", dictionary=het)
-    with pytest.raises(ConfigurationError, match="must unify"):
-        run_both(cfg, [{"s": "1"}, {"s": "0"}])
+    out = run_both(cfg, [{"s": "1"}, {"s": "0"}, {"s": "miss"}])
+    assert [r.get("t") for r in out] == ["0", "", None]
 
 
 def test_sprintf_container_null_members_absent_both_paths():
@@ -871,3 +871,47 @@ def test_sprintf_container_null_members_absent_both_paths():
     assert sprintf_row("%{d}", {"d": {"a": {"b": None, "c": 1},
                                       "l": ["p", None, "q"]}}) \
         == '{"a":{"c":1},"l":["p",null,"q"]}'
+
+
+def test_block_invariance_regressions_r4_fuzz():
+    """Deterministic repros of the r4 block-composition fuzz finds: each
+    slice pair must concat with identical schema to the whole-table run."""
+    import pyarrow as pa
+    from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
+                                               translate_table)
+
+    def check(tbl, cfg):
+        snap = DictSnapshot(cfg.dictionary)
+        whole = translate_table(tbl, cfg, snap)
+        cat = pa.concat_tables(
+            [translate_table(tbl.slice(i, 1), cfg, snap)
+             for i in range(len(tbl))])
+        assert cat.schema.equals(whole.schema), (cat.schema, whole.schema)
+        assert cat.to_pylist() == whole.to_pylist()
+        return whole
+
+    # empty dict, no fallback: all-miss block typed string like the
+    # all-excluded fast path (was null-typed)
+    t = pa.table({"s": pa.array([None, ""], type=pa.string())})
+    check(t, TranslateConfig(source="s", target="t", dictionary={}))
+
+    # maps shape: all-excluded block must still add the dst child
+    maps = pa.table({"maps": pa.array(
+        [None, [{"src": "a"}]],
+        type=pa.list_(pa.struct([("src", pa.string())])))})
+    out = check(maps, TranslateConfig(source="[src]", iterate_on="maps",
+                                      target="[dst]", dictionary={"a": "A"}))
+    assert out["maps"][1][0]["dst"].as_py() == "A"
+
+    # regex_union with a non-string-valued dict: gsub writes strings, the
+    # fast path must type string too (was bool)
+    t = pa.table({"s": pa.array([None, "0"], type=pa.string())})
+    check(t, TranslateConfig(source="s", target="t",
+                             dictionary={"0": False}, exact=False))
+
+    # values shape, boolean dict, zero-element block: truthy &= empty
+    # float64 crashed on the nil_is_present CoerceArray [] path
+    t = pa.table({"foo": pa.array([None, ["0"]],
+                                  type=pa.list_(pa.string()))})
+    check(t, TranslateConfig(source="foo", iterate_on="foo", target="baz",
+                             dictionary={"0": False}, nil_is_present=True))
