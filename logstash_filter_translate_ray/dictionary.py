@@ -27,7 +27,6 @@ import csv
 import io
 import json
 import os
-import re
 import time
 from typing import Any, Iterator, Optional
 
@@ -130,41 +129,38 @@ def _yaml_top_level_items(data: Any, path: str) -> list[tuple[str, Any]]:
 
 # --- YAML: streaming event-walk with plain-scalar coercion -----------------
 
-_INT_RE = re.compile(r"^[-+]?(0b[0-1_]+|0o?[0-7_]+|0x[0-9a-fA-F_]+|[0-9_]+)$")
-_FLOAT_RE = re.compile(r"^[-+]?(\.[0-9]+|[0-9][0-9_]*(\.[0-9_]*)?)([eE][-+]?[0-9]+)?$")
+_SCALAR_RESOLVER = None
 
 
 def _coerce_plain_scalar(text: str) -> Any:
-    """streaming_yaml_parser.rb:88-109 plain-scalar coercion."""
-    if text in ("", "~", "null", "Null", "NULL"):
-        return None
-    if text in ("true", "True", "TRUE"):
-        return True
-    if text in ("false", "False", "FALSE"):
-        return False
-    if _INT_RE.match(text):
-        t = text.replace("_", "")
-        try:
-            return int(t, 0)
-        except ValueError:
-            # int(x, 0) is C-style and rejects bare leading zeros, but
-            # YAML 1.1 (the one_shot SafeLoader) reads '0755' as octal 493
-            # — falling through to the float branch returned 755.0 and
-            # silently diverged from the documented one_shot equality.
-            sign = -1 if t[0] == "-" else 1
-            u = t.lstrip("+-")
-            try:
-                return sign * int(u, 8)
-            except ValueError:
-                # '09' etc.: not octal, not YAML-decimal — one_shot keeps
-                # the STRING, so must the streaming path (never a float)
-                return text
-    if _FLOAT_RE.match(text):
-        try:
-            return float(text.replace("_", ""))
-        except ValueError:
-            pass
-    return text
+    """Plain-scalar typing EXACTLY as the one_shot SafeLoader would
+    resolve it (the engine's documented promise is streaming ≡ one_shot,
+    D7; the reference shape is streaming_yaml_parser.rb:88-109): delegate
+    to PyYAML's implicit resolver + SafeConstructor instead of hand-rolled
+    regexes. YAML 1.1 sexagesimals (1:30), yes/no/on/off booleans,
+    .inf/.nan, timestamps and signed-exponent floats now all type
+    identically to a full load — the old regexes turned '1e3' into a float
+    that one_shot keeps as a string, crashed on the all-underscore scalar
+    '_', and accepted the YAML-1.2-only 0o7 octal form (review r4 fuzz)."""
+    global _SCALAR_RESOLVER
+    import yaml
+    if _SCALAR_RESOLVER is None:
+        _SCALAR_RESOLVER = (yaml.resolver.Resolver(),
+                            yaml.constructor.SafeConstructor())
+    resolver, constructor = _SCALAR_RESOLVER
+    tag = resolver.resolve(yaml.nodes.ScalarNode, text, (True, False))
+    node = yaml.nodes.ScalarNode(tag, text)
+    try:
+        return constructor.construct_object(node, deep=True)
+    except yaml.constructor.ConstructorError:
+        # a resolvable-but-unconstructable plain scalar (e.g. '=' → the
+        # value tag): keep the text rather than failing the whole load
+        return text
+    finally:
+        # the constructor memoizes per node — drop the references so a
+        # 100k-entry dictionary reload doesn't accumulate them
+        constructor.constructed_objects.clear()
+        constructor.recursive_objects.clear()
 
 
 def streaming_yaml_pairs(text: str) -> Iterator[tuple[Any, Any]]:

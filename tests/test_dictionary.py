@@ -203,3 +203,29 @@ def test_json_empty_ok(tmp_path):
     p = tmp_path / "e.json"
     p.write_text("")
     assert load_json_items(str(p)) == []
+
+
+@pytest.mark.parametrize("scalar", [
+    "1e3", "1.5e3", "1.5e+3", ".inf", ".nan", "yes", "no", "on", "Off",
+    "1:30", "1:30:30", "0o755", "0755", "09", "_", "1_000", "null", "y",
+    "N", "2024-01-02", "-0", "+12", "0b101", "0x1F", ".5", "5.",
+])
+def test_streaming_scalar_typing_matches_one_shot(scalar, tmp_path):
+    """(review r4 fuzz) every plain scalar must TYPE identically under the
+    streaming parser and the one_shot SafeLoader: the old hand-rolled
+    regexes floated '1e3' (PyYAML 1.1 keeps dotless/unsigned exponents as
+    strings), crashed on '_', and int'ed the YAML-1.2-only '0o755'. The
+    streaming coercer now delegates to PyYAML's own resolver, covering
+    sexagesimals, yes/no/on/off, .inf/.nan and timestamps too."""
+    import math
+
+    import yaml
+
+    from logstash_filter_translate_ray.dictionary import (
+        _coerce_plain_scalar)
+    want = yaml.safe_load("k: " + scalar)["k"]
+    got = _coerce_plain_scalar(scalar.strip())
+    if isinstance(want, float) and math.isnan(want):
+        assert isinstance(got, float) and math.isnan(got)
+    else:
+        assert got == want and type(got) is type(want), (scalar, got, want)
