@@ -268,3 +268,87 @@ def test_block_composition_invariant(data, d, rows, shape, strategy,
     cat = pa.concat_tables(parts)   # raises on schema drift
     assert cat.schema.equals(whole.schema), (cat.schema, whole.schema)
     assert cat.to_pylist() == whole.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# sprintf column vs row differential (review r4): the vectorized renderer
+# must agree with the row oracle over every column type incl. containers.
+# ---------------------------------------------------------------------------
+
+_sp_refs = ["s", "i", "f", "lst", "stru", "[stru][x]", "missing"]
+_sp_seg = st.one_of(
+    st.text(alphabet="ab 日é%!.", max_size=5).filter(lambda s: "%{" not in s),
+    st.sampled_from(["%{" + r + "}" for r in _sp_refs]))
+_sp_template = st.lists(_sp_seg, min_size=0, max_size=4).map("".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    tpl=_sp_template,
+    rows=st.lists(st.tuples(
+        st.one_of(st.none(), st.text(alphabet="xyé", max_size=6)),
+        st.one_of(st.none(), st.integers(-10**6, 10**6)),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32), st.just(2.0)),
+        st.one_of(st.none(), st.lists(st.one_of(st.none(), st.text(
+            alphabet="pq", max_size=3)), max_size=3)),
+        st.one_of(st.none(), st.fixed_dictionaries(
+            {"x": st.one_of(st.none(), st.text(alphabet="mn", max_size=3))})),
+    ), min_size=1, max_size=8),
+)
+def test_sprintf_column_equals_row(tpl, rows):
+    from logstash_filter_translate_ray.sprintf import (sprintf_column,
+                                                       sprintf_row)
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "s": pa.array(cols[0], type=pa.string()),
+        "i": pa.array(cols[1], type=pa.int64()),
+        "f": pa.array(cols[2], type=pa.float64()),
+        "lst": pa.array(cols[3], type=pa.list_(pa.string())),
+        "stru": pa.array(cols[4], type=pa.struct([("x", pa.string())])),
+    })
+    got = sprintf_column(tpl, tbl).to_pylist()
+    events = tbl.to_pylist()
+    for ev in events:       # columnar convention: null cell == absent field
+        for k in list(ev):
+            if ev[k] is None:
+                del ev[k]
+        if "stru" in ev and ev["stru"].get("x") is None:
+            ev["stru"].pop("x")
+    assert got == [sprintf_row(tpl, ev) for ev in events]
+
+
+# ---------------------------------------------------------------------------
+# streaming YAML vs one_shot differential (review r4): same items for any
+# safe_dump-able document, either flow style.
+# ---------------------------------------------------------------------------
+
+_y_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**9, 10**9),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(alphabet="abc 01:#-\"'{}[]%é\n\t._", max_size=10),
+    st.sampled_from(["0755", "09", "0x1f", "1e3", "null", "true", "yes",
+                     "~", "0.5", "---", ":", "a: b", "2024-01-02", "1:30"]))
+_y_value = st.recursive(
+    _y_scalar,
+    lambda ch: st.one_of(st.lists(ch, max_size=3),
+                         st.dictionaries(st.text(alphabet="kxy01", min_size=1,
+                                                 max_size=4), ch, max_size=3)),
+    max_leaves=6)
+
+
+@settings(max_examples=120, deadline=None)
+@given(d=st.dictionaries(
+    st.one_of(st.text(alphabet="abc01 :#é", min_size=1, max_size=6),
+              st.integers(-999, 999),
+              st.sampled_from(["0755", "09", "true", "null", "1.5"])),
+    _y_value, max_size=8),
+    flow=st.booleans())
+def test_streaming_yaml_equals_one_shot(d, flow):
+    import yaml
+    from logstash_filter_translate_ray.dictionary import (
+        _yaml_one_shot_load, _yaml_top_level_items, streaming_yaml_pairs)
+    text = yaml.safe_dump(d, default_flow_style=flow, allow_unicode=True,
+                          sort_keys=False)
+    one_shot = _yaml_top_level_items(_yaml_one_shot_load(text), "x.yml")
+    assert list(streaming_yaml_pairs(text)) == one_shot
