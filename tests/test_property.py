@@ -261,8 +261,9 @@ def test_block_composition_invariant(data, d, rows, shape, strategy,
             exact=strategy != "regex_union", regex=strategy == "exact_regex")
     snap = DictSnapshot(d)
     whole = translate_table(tbl, cfg, snap)
-    pts = sorted(set([0, n] + data.draw(
-        st.lists(st.integers(0, n), max_size=4))))
+    # duplicates kept deliberately: (x, x) pairs produce ZERO-ROW slices,
+    # which must also come out schema-identical
+    pts = sorted([0, n] + data.draw(st.lists(st.integers(0, n), max_size=4)))
     parts = [translate_table(tbl.slice(lo, hi - lo), cfg, snap)
              for lo, hi in zip(pts, pts[1:])]
     cat = pa.concat_tables(parts)   # raises on schema drift
