@@ -2,12 +2,13 @@
 
 Decode support is tiered by what this environment can honestly do:
 
-- UNCOMPRESSED container formats decode for REAL with pure numpy — P6 PPM
-  and 24-bit BMP images, 16-bit PCM WAV audio (stdlib struct parsing +
-  ``np.frombuffer``; no codec library involved). Real nearest-neighbor
-  resize and real pixel/sample features run on the decoded arrays.
-- COMPRESSED codecs (JPEG/PNG/MP3/H.264 …) need libraries that are NOT
-  available here, so those payloads raise a clearly-marked
+- FORMATS THIS ENVIRONMENT CAN HONESTLY DECODE run for REAL with pure
+  numpy + stdlib: P6 PPM and 24-bit BMP images, 8-bit gray/RGB/RGBA PNG
+  (zlib inflate + spec unfiltering, all five filter types), 16-bit PCM
+  WAV audio. Real nearest-neighbor resize and real pixel/sample features
+  run on the decoded arrays.
+- CODECS NEEDING EXTERNAL LIBRARIES (JPEG/MP3/H.264 …, and the palette/
+  16-bit/interlaced PNG variants) raise a clearly-marked
   ``NotImplementedError`` — while everything Ray-side (schema, actor-pool
   signature, batch sizing, output layout) is identical and tested.
 
@@ -129,11 +130,133 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     return data, int(rate)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body)) + tag + body + \
+        struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+
+def encode_png(img: np.ndarray, row_filter: int = 0) -> bytes:
+    """(h, w[, ch]) uint8 → 8-bit PNG, REAL encode with stdlib zlib only:
+    gray (2-D), RGB (ch=3) or RGBA (ch=4). ``row_filter`` selects the
+    per-row PNG filter (0 none, 1 sub, 2 up, 3 average, 4 paeth) — the
+    non-zero filters exist so tests can drive every unfilter path of
+    :func:`decode_png` with spec-defined inputs."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    assert img.dtype == np.uint8 and ch in (1, 3, 4)
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = img.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    lines = bytearray()
+    for y in range(h):
+        cur = raw[y]
+        if row_filter == 0:
+            filt = cur
+        elif row_filter == 1:            # sub: − left
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            filt = cur - left
+        elif row_filter == 2:            # up: − prior row
+            filt = cur - prev
+        elif row_filter == 3:            # average
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            filt = cur - (left + prev) // 2
+        else:                            # paeth
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            filt = cur - pred
+        lines.append(row_filter)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w) or (h, w, ch) uint8 — REAL decode
+    with stdlib zlib + numpy unfiltering (sub via per-channel cumsum, up
+    vectorized, average/paeth per-pixel on int16). Gray (type 0), RGB (2)
+    and RGBA (6) supported; palette/16-bit/interlaced raise
+    NotImplementedError (honest gate, same policy as compressed codecs)."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color_type}, "
+                    f"interlace={interlace})")
+            ch = {0: 1, 2: 3, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = int(data[y, 0])
+        cur = data[y, 1:].astype(np.int16)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:      # sub: recon[x] = raw[x] + recon[x−ch] ⇒ cumsum
+            rec = np.cumsum(cur.reshape(w, ch), axis=0,
+                            dtype=np.int64).reshape(stride) % 256
+        elif ft == 2:      # up
+            rec = (cur + prev) % 256
+        elif ft in (3, 4):  # average / paeth: left-dependent, per pixel
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb and pa_ <= pc_ else \
+                        (b if pb <= pc_ else c)
+                    rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int16)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 def sniff_format(payload: bytes) -> Optional[str]:
     if payload.startswith(b"P6"):
         return "ppm"
     if payload.startswith(b"BM"):
         return "bmp"
+    if payload.startswith(_PNG_SIG):
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -208,8 +331,13 @@ class DecodeFeatureStage:
             # ResizeStage's passthrough for non-decodable rows)
             return np.zeros(8, dtype=np.float32)
         fmt = sniff_format(payload)
-        if fmt in ("ppm", "bmp"):
-            img = decode_ppm(payload) if fmt == "ppm" else decode_bmp(payload)
+        if fmt in ("ppm", "bmp", "png"):
+            img = {"ppm": decode_ppm, "bmp": decode_bmp,
+                   "png": decode_png}[fmt](payload)
+            if img.ndim == 2:                    # gray → 3-channel
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            elif img.shape[2] == 4:              # RGBA → RGB for features
+                img = img[:, :, :3]
             f = img.astype(np.float32) / 255.0
             luma = f.mean(axis=2)
             hist, _ = np.histogram(luma, bins=3, range=(0.0, 1.0))
@@ -229,9 +357,8 @@ class DecodeFeatureStage:
                              float(s.mean()), float(s.std()),
                              rate / 48000.0, 0.0], dtype=np.float32)
         raise NotImplementedError(
-            "compressed codec payload (JPEG/PNG/MP3/…): decoder libraries "
-            "are not available in this environment — only uncompressed "
-            "PPM/BMP/WAV decode for real")
+            "codec payload needing external libraries (JPEG/MP3/…): only "
+            "PPM/BMP/PNG/WAV decode for real in this environment")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         from .text import md5_lower64
@@ -276,15 +403,17 @@ class ResizeStage:
             rh = np.empty(len(tbl), dtype=np.int32)
             for i, p in enumerate(payloads):
                 fmt = sniff_format(p or b"")
-                if fmt in ("ppm", "bmp"):
-                    img = decode_ppm(p) if fmt == "ppm" else decode_bmp(p)
+                if fmt in ("ppm", "bmp", "png"):
+                    img = {"ppm": decode_ppm, "bmp": decode_bmp,
+                           "png": decode_png}[fmt](p)
                     ih, iw = img.shape[:2]
                     sc = min(1.0, self.max_side / max(iw, ih))
                     ow = max(1, int(iw * sc))
                     oh = max(1, int(ih * sc))
                     out = resize_nearest(img, ow, oh)
-                    new_payloads.append(encode_ppm(out) if fmt == "ppm"
-                                        else encode_bmp(out))
+                    enc = {"ppm": encode_ppm, "bmp": encode_bmp,
+                           "png": encode_png}[fmt]
+                    new_payloads.append(enc(out))   # PNG keeps gray/RGBA
                     rw[i], rh[i] = ow, oh
                 else:
                     new_payloads.append(p)        # audio/video: passthrough
