@@ -128,13 +128,16 @@ def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
         t, ts_us, boundary = _sorted_segments(t, key, ts_col, id_col)
         # float64 diff: a null ts makes ts_us float64-with-NaN (Arrow's
         # nullable-int64 promotion) and an int64 out buffer raised a
-        # casting TypeError (same hazard prev_event_gap guards). NaN > gap
-        # is False ⇒ a null-ts row never STARTS a session — the lag-based
-        # SQL flag (NULL comparison → false) agrees.
+        # casting TypeError (same hazard prev_event_gap guards). A NaN
+        # diff (either edge has an unknown time) STARTS a session — the
+        # lag-based SQL mirror counts `gap_us IS NULL` as a session start,
+        # and the pre-fix `NaN > gap → False` silently absorbed null-ts
+        # rows into the previous session, diverging from the registered
+        # oracle (r4 fuzz find; null-ts rows sort last both sides).
         diff = np.zeros(len(t), dtype=np.float64)
         np.subtract(ts_us[1:], ts_us[:-1], out=diff[1:], casting="unsafe")
         with np.errstate(invalid="ignore"):
-            new_session = boundary | (diff > gap_us)
+            new_session = boundary | (diff > gap_us) | np.isnan(diff)
         seg = np.cumsum(boundary) - 1          # dense key index in sort order
         counts = np.bincount(seg[new_session], minlength=seg[-1] + 1)
         kidx = pa.array(np.nonzero(boundary)[0], type=pa.int64())

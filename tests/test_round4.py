@@ -656,22 +656,39 @@ def test_csv_quoted_empty_vs_unquoted_null(ray_session, tmp_path):
     tools = out["tool"].tolist()
     assert pd.isna(tools[0])               # unquoted empty → null
     assert tools[1] == ""                  # quoted "" survives
+
+
+def test_session_counts_null_ts_matches_sql_oracle(ray_session):
     """A null ts promotes the epoch array to float64-with-NaN; the int64
-    diff buffer raised a casting TypeError. NaN gaps never START a session
-    (= the lag-based SQL flag where NULL comparisons are false)."""
+    diff buffer raised a casting TypeError. A NaN gap STARTS a session —
+    the registered lag-based SQL counts `gap_us IS NULL` as a session
+    start, and the earlier `NaN > gap → False` silently absorbed null-ts
+    rows into the previous session (r4 fuzz find). Null-ts rows sort last
+    on both sides, so the parity holds row-for-row."""
+    import duckdb
     import ray.data as rd
     from logstash_filter_translate_ray.stages.window import session_counts
-    ts = pa.array([1_000_000, 10_000_000_000_000, None, 500_000],
+    ts = pa.array([1_000_000, 10_000_000_000_000, None, 500_000, None, None],
                   type=pa.timestamp("us"))
-    tbl = pa.table({"user_id": ["u1", "u1", "u1", "u2"],
-                    "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    tbl = pa.table({"user_id": ["u1", "u1", "u1", "u2", "u3", "u3"],
+                    "event_id": pa.array([1, 2, 3, 4, 5, 6],
+                                         type=pa.int64()),
                     "ts": ts})
     out = session_counts(rd.from_arrow(tbl), gap="30min").to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
-    # u1: two real events far apart → 2 sessions; the null-ts row sorts
-    # last in-key and starts none. u2: 1 session.
-    assert out["user_id"].tolist() == ["u1", "u2"]
-    assert out["n_sessions"].tolist() == [2, 1]
+    # u1: two real events far apart + a null-ts row → 3; u3: two null-ts
+    # rows → 2 (each unknown-time edge is a new session, like the SQL)
+    assert out["user_id"].tolist() == ["u1", "u2", "u3"]
+    assert out["n_sessions"].tolist() == [3, 1, 2]
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(
+        "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+        "SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR "
+        "gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+        "FROM g GROUP BY user_id ORDER BY user_id").df()
+    assert out["n_sessions"].tolist() == want["n_sessions"].tolist()
 
 
 def test_event_paths_null_values_skipped(ray_session):
