@@ -143,9 +143,12 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
+        # null cents are KEPT as (key, null) histogram rows: quantile_disc
+        # ignores null VALUES but SQL GROUP BY still emits a group whose
+        # values are all null (with NULL quantiles) — filtering them here
+        # made such groups vanish from the output entirely (r4 fuzz)
         cents = _cents(t[val])
-        sub = pa.table({key: t[key], "cents": cents}) \
-            .filter(pc.is_valid(cents))        # quantile_disc ignores NULLs
+        sub = pa.table({key: t[key], "cents": cents})
         return sub.group_by([key, "cents"]).aggregate([([], "count_all")]) \
             .rename_columns([key, "cents", "cnt"])
 
@@ -173,7 +176,8 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
                                         batch_size=None)
 
         def per_key(t: pa.Table) -> pd.DataFrame:
-            g = t.to_pandas().groupby("cents", as_index=False)["cnt"].sum() \
+            g = t.to_pandas().dropna(subset=["cents"]) \
+                .groupby("cents", as_index=False)["cnt"].sum() \
                 .sort_values("cents")
             kv = t[key][0].as_py()
             if kv == NULL_LABEL:
@@ -183,23 +187,35 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
                 # "(null)" string key collides with the sentinel — same
                 # documented trade as grouped_counts.)
                 kv = None
-            row = {key: kv,
-                   **_quantiles_from_hist(g["cents"].to_numpy(),
-                                          g["cnt"].cumsum().to_numpy(), qs)}
+            if len(g) == 0:        # all-null values: NULL quantiles, like
+                row = {key: kv,    # quantile_disc over an all-NULL group
+                       **{f"p{int(round(q * 100))}": None for q in qs}}
+            else:
+                row = {key: kv,
+                       **_quantiles_from_hist(g["cents"].to_numpy(),
+                                              g["cnt"].cumsum().to_numpy(),
+                                              qs)}
             return pd.DataFrame([row])
 
         return parts_ds.groupby(key).map_groups(per_key,
                                                 batch_format="pyarrow")
     parts = parts_ds.to_pandas()
-    # dropna=False: a null group key must survive the merge like the
-    # quantile_disc oracle's NULL group (null cents are already filtered)
+    # dropna=False: a null group KEY must survive the merge like the
+    # quantile_disc oracle's NULL group; null CENTS rows keep all-null
+    # groups in the output (dropped per group at extraction, = the
+    # quantile_disc ignore-NULL-values rule)
     hist = parts.groupby([key, "cents"], as_index=False, dropna=False)["cnt"] \
         .sum().sort_values([key, "cents"])
     out_rows = []
     for k, g in hist.groupby(key, sort=True, dropna=False):
-        row = {key: k,
-               **_quantiles_from_hist(g["cents"].to_numpy(),
-                                      g["cnt"].cumsum().to_numpy(), qs)}
+        gv = g.dropna(subset=["cents"])
+        if len(gv) == 0:
+            row = {key: k,
+                   **{f"p{int(round(q * 100))}": None for q in qs}}
+        else:
+            row = {key: k,
+                   **_quantiles_from_hist(gv["cents"].to_numpy(),
+                                          gv["cnt"].cumsum().to_numpy(), qs)}
         out_rows.append(row)
     return pd.DataFrame(out_rows)
 

@@ -932,3 +932,26 @@ def test_block_invariance_regressions_r4_fuzz():
                                   type=pa.list_(pa.string()))})
     check(t, TranslateConfig(source="foo", iterate_on="foo", target="baz",
                              dictionary={"0": False}, nil_is_present=True))
+
+
+def test_grouped_quantiles_all_null_value_group_kept(ray_session):
+    """A group whose values are ALL null must still appear, with NULL
+    quantiles — SQL GROUP BY keeps the group and quantile_disc returns
+    NULL over all-NULL values; the histogram partials used to filter null
+    cents and such groups vanished entirely (r4 fuzz). Both merge paths."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_quantiles)
+    tbl = pa.table({"event_type": ["a", "a", "b", None],
+                    "value": pa.array([1.0, 2.0, None, None],
+                                      type=pa.float64())})
+    for kwargs in ({}, {"driver_partial_rows_max": 0}):
+        out = grouped_quantiles(rd.from_arrow(tbl), qs=(0.5,), **kwargs)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        out = out.fillna({"event_type": "(n)"}) \
+            .sort_values("event_type").reset_index(drop=True)
+        assert out["event_type"].tolist() == ["(n)", "a", "b"]
+        assert pd.isna(out.loc[0, "p50"]) and pd.isna(out.loc[2, "p50"])
+        # quantile_disc rule: element at ceil(0.5*2)-1 = index 0 -> 100
+        assert out.loc[1, "p50"] == 100
