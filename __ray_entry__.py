@@ -400,10 +400,16 @@ def q_zscore_outliers(sf_dir: str):
 
 def q_vocab_topk(sf_dir: str):
     """Top-20 vocabulary by occurrence (map-reduce wordcount shape:
-    per-batch np.unique partials → native sum → distributed sort+limit)."""
+    per-batch np.unique partials → native sum → distributed sort+limit).
+    Returned as a typed arrow Table (bounded by k): Ray's sort/limit wipe
+    an all-empty stream's schema and a schema anchor union under a limit
+    trips 2.49's LimitPushdown planner, so the ≤k-row result is collected
+    with an explicit schema instead (fuzz_docqueries: all-null corpus)."""
     from logstash_filter_translate_ray.functions.text import vocab_topk
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return vocab_topk(ds, k=20)
+    rows = vocab_topk(ds, k=20).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("word", pa.string()), ("n", pa.int64())]))
 
 
 def q_quality_scores(sf_dir: str):
@@ -439,9 +445,17 @@ def q_curation_pipeline(sf_dir: str):
     kept = ds.map_batches(enrich_filter, batch_format="pyarrow",
                           batch_size=None)
     surv = exact_dedup(kept)          # full rows, min doc_id per text
-    return surv.map_batches(
+    out = surv.map_batches(
         lambda t: token_count_batch(t).drop_columns(["text"]),
         batch_format="pyarrow", batch_size=None)
+    # final-op schema anchor: Ray wipes block schemas when a map stage
+    # skips empty inputs, so a corpus that filters to nothing would lose
+    # its column list (rayutil.anchor_empty_schema docstring)
+    from logstash_filter_translate_ray.rayutil import anchor_empty_schema
+    return anchor_empty_schema(out, pa.schema(
+        [("doc_id", pa.int64()), ("quality_score", pa.float64()),
+         ("lang_pred", pa.string()), ("n_tokens_ws", pa.int64()),
+         ("n_tokens_bpe", pa.int64())]))
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -503,7 +517,9 @@ def q_winnow(sf_dir: str):
     out = winnow_dataset(ds)
 
     def first8(t: pa.Table) -> pa.Table:
-        fps = [None if v is None else ",".join(str(x) for x in v[:8])
+        # empty fingerprint list ("" text) renders NULL like the oracle's
+        # array_to_string([]) — DuckDB returns NULL, not '' (fuzz-found)
+        fps = [None if not v else ",".join(str(x) for x in v[:8])
                for v in t["fingerprints"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
                          "fp8": pa.array(fps, type=pa.string())})
@@ -628,7 +644,10 @@ def q_jaccard_pairs(sf_dir: str):
     list-algebra join is the binding cost. sample_mod=1 + hot_cap=None make
     candidate recall exact on this bounded input (every shared word blocks;
     J ≥ 0.9 ⇒ ≥1 shared word); word hashing is a fixed-key 64-bit siphash,
-    so hash-set Jaccard equals word-set Jaccard (collisions negligible)."""
+    so hash-set Jaccard equals word-set Jaccard (collisions negligible).
+    Zero-word docs (empty/whitespace/null text) all carry the single
+    _EMPTY_SHINGLE, so they pair with each other at J=1 (the engine's
+    J(∅,∅)=1 convention, mirrored in the oracle's [''] singleton)."""
     import pyarrow.compute as pc
     import ray.data as rd
     from logstash_filter_translate_ray.functions.dedup import (
@@ -703,9 +722,13 @@ def q_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample (md5-bucket row rule — no RNG, no
     shuffle; the DuckDB mirror is the identical expression)."""
     from logstash_filter_translate_ray.functions.sampling import hash_sample
+    from logstash_filter_translate_ray.rayutil import anchor_empty_schema
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return hash_sample(ds, col="doc_id", fraction=0.1) \
+    out = hash_sample(ds, col="doc_id", fraction=0.1) \
         .select_columns(["doc_id"])
+    # a corpus sampled to nothing must keep its projected column list
+    # (without the anchor, schema() walks back up to the pre-project read)
+    return anchor_empty_schema(out, pa.schema([("doc_id", pa.int64())]))
 
 
 def q_split_counts(sf_dir: str):
@@ -907,11 +930,13 @@ def _quality_sql() -> str:
 
 
 def _simhash_sql(where: str = "") -> str:
-    # word split (non-empty \s+ tokens) → md5_number_lower per word → 64-bit
-    # bit-majority → sum of winning bits (bits are disjoint, so SUM == OR)
+    # word split (the engine's exact Unicode-whitespace tokenization) →
+    # md5_number_lower per word → 64-bit bit-majority → sum of winning
+    # bits (bits are disjoint, so SUM == OR)
+    from logstash_filter_translate_ray.functions.text import UNICODE_TOKEN_RE
     return (
-        "WITH w AS (SELECT doc_id, unnest(list_filter("
-        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "WITH w AS (SELECT doc_id, "
+        f"unnest(regexp_extract_all(text, '{UNICODE_TOKEN_RE}')) AS word "
         f"FROM documents {where}), "
         "h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w), "
         "b AS (SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 "
@@ -1001,6 +1026,9 @@ def _curation_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the exact RE2 mirror of the engine's utf8_split_whitespace / .split()
+    # tokenization — RE2 \s is ASCII-only, see text.UNICODE_TOKEN_RE
+    from logstash_filter_translate_ray.functions.text import UNICODE_TOKEN_RE
     exact_case = _case_exact("event_type", EVENT_LABELS, "unknown")
     exact_case_nf = _case_exact("event_type", EVENT_LABELS, None)
     regex_case = (
@@ -1108,13 +1136,21 @@ def oracle_sql() -> dict[str, str]:
         "distinct_types":
             "SELECT DISTINCT event_type FROM events",
         "jaccard_pairs":
-            "WITH w AS (SELECT doc_id, "
-            "list_distinct(regexp_extract_all(text, '\\S+')) AS ws "
-            "FROM documents WHERE doc_id < 1000) "
+            # zero-word docs (empty / whitespace-only / NULL text) carry
+            # the [''] singleton — the SQL analogue of the engine's
+            # _EMPTY_SHINGLE for <k-word docs (J(∅,∅)=1 convention, same
+            # edge treatment as the minhash_pairs oracle's ELSE arm); the
+            # plain 0/0 form returns NULL and silently drops those pairs
+            "WITH d AS (SELECT doc_id, "
+            f"list_distinct(regexp_extract_all(text, '{UNICODE_TOKEN_RE}')) "
+            "AS w FROM documents WHERE doc_id < 1000), "
+            "s AS (SELECT doc_id, CASE WHEN len(w) >= 1 THEN w "
+            "ELSE [''] END AS ws FROM d) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM w a JOIN w b ON a.doc_id < b.doc_id "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
-            "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9",
+            "greatest(len(list_distinct(list_concat(a.ws, b.ws))), 1) "
+            ">= 0.9",
         "langid": _langid_sql(),
         "incremental_dedup":
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
@@ -1142,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s",
         "repetition_scores":
             "WITH s AS (SELECT doc_id, "
-            "regexp_extract_all(text, '\\S+') AS w, "
+            f"regexp_extract_all(text, '{UNICODE_TOKEN_RE}') AS w, "
             "string_split(text, chr(10)) AS l FROM documents) "
             "SELECT doc_id, "
             "CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / "
@@ -1172,8 +1208,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_sql(),
         "vocab_topk":
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
-            "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
-            "FROM documents) GROUP BY word "
+            f"(SELECT unnest(regexp_extract_all(text, '{UNICODE_TOKEN_RE}')) "
+            "AS word FROM documents) GROUP BY word "
             "ORDER BY n DESC, word LIMIT 20",
         "event_paths":
             "SELECT user_id, string_agg(event_type, '>' "
@@ -1209,13 +1245,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, "
             "md5_number_lower(text) AS payload_digest FROM documents",
         "minhash_pairs":
-            "WITH d AS (SELECT doc_id, list_filter("
-            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
+            "WITH d AS (SELECT doc_id, "
+            f"regexp_extract_all(text, '{UNICODE_TOKEN_RE}') AS w "
             "FROM documents WHERE doc_id < 1000), "
+            # coalesce: array_to_string([]) is NULL and [NULL] never
+            # intersects — zero-word docs must carry the '' singleton
+            # (engine _EMPTY_SHINGLE, J(∅,∅)=1; fuzz-found)
             "s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct(list_transform(range(1, len(w)-1), "
             "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
-            "ELSE [array_to_string(w, ' ')] END AS sh FROM d) "
+            "ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh "
+            "FROM d) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "

@@ -172,8 +172,10 @@ def add_content_hash(tbl: pa.Table, col: str = "text",
     """Append a 128-bit content hash as TWO uint64 columns ``out``/``out2``
     (two independent fixed-key siphash passes via ``pd.util.hash_array`` —
     fully vectorized, no per-row Python hashing; collision odds ~1e-18 at
-    10^10 docs). null text hashes like "". Returns (table, first-hash array)
-    — the first hash doubles as the bucket key."""
+    10^10 docs). null text hashes to its OWN group, distinct from "" (SQL
+    ``GROUP BY text`` keeps NULL apart from the empty string — a fuzz-found
+    divergence; null rows get a fixed post-hash XOR salt). Returns
+    (table, first-hash array) — the first hash doubles as the bucket key."""
     arr = tbl[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -181,6 +183,11 @@ def add_content_hash(tbl: pa.Table, col: str = "text",
     h1 = pd.util.hash_array(vals) if len(vals) else np.empty(0, np.uint64)
     h2 = pd.util.hash_array(vals, hash_key=_CONTENT_HASH_KEY) \
         if len(vals) else np.empty(0, np.uint64)
+    nulls = np.asarray(pc.is_null(arr)) if len(vals) else None
+    if nulls is not None and nulls.any():
+        h1 = h1.copy(); h2 = h2.copy()
+        h1[nulls] ^= np.uint64(0x9E3779B97F4A7C15)
+        h2[nulls] ^= np.uint64(0xC2B2AE3D27D4EB4F)
     tbl = tbl.append_column(out, pa.array(h1, type=pa.uint64()))
     tbl = tbl.append_column(out + "2", pa.array(h2, type=pa.uint64()))
     return tbl, h1
@@ -212,9 +219,14 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
         first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         return t.filter(pa.array(first)).drop_columns(aux)
 
-    return ds.map_batches(add_hash_gb, batch_format="pyarrow",
-                          batch_size=None) \
+    from ..rayutil import anchor_empty_schema, input_arrow_schema
+    out = ds.map_batches(add_hash_gb, batch_format="pyarrow",
+                         batch_size=None) \
         .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+    # per_group preserves the input columns exactly, so the input schema
+    # (≤ 1 upstream block to fetch) anchors the empty case — a fully
+    # filtered corpus must still come back with its column list
+    return anchor_empty_schema(out, input_arrow_schema(ds))
 
 
 def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
@@ -282,7 +294,12 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
     keep only the rows of ``ds_new`` whose content does not appear in
     ``ds_seen``. Anti-join on the 128-bit content hash: the shuffle moves
     16 bytes + an id per row, never the text; the seen side is first
-    reduced to DISTINCT hashes by a native aggregate."""
+    reduced to DISTINCT hashes by a native aggregate.
+
+    NULL content never matches (SQL equality semantics: ``s.text = d.text``
+    is never true when either side is NULL, so the oracle keeps every
+    null-text new row) — null rows are excluded from the seen hash set and
+    from the droppable new side."""
     def _hash_i64(t: pa.Table, keep_all: bool) -> pa.Table:
         # int64 VIEW of the uint64 hashes: Dataset.join's hash shuffle
         # handles uint64 keys as pickled objects (Acero then rejects the
@@ -303,8 +320,9 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
         out = out.append_column("content_hash", h1)
         return out.append_column("content_hash2", h2)
 
-    seen = ds_seen.map_batches(lambda t: _hash_i64(t, keep_all=False),
-                               batch_format="pyarrow", batch_size=None)
+    seen = ds_seen.map_batches(
+        lambda t: _hash_i64(t.filter(pc.is_valid(t[col])), keep_all=False),
+        batch_format="pyarrow", batch_size=None)
     # materialize the (small, distinct) seen side: the empty case must
     # short-circuit — an empty operand reaches Acero as zero-COLUMN blocks
     # the per-partition join rejects
@@ -353,6 +371,7 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
             hit[one] = s2s[np.minimum(lo[one], len(s2s) - 1)] == b[one]
             for i in np.nonzero(hi - lo > 1)[0]:  # h1-collision runs: rare
                 hit[i] = b[i] in s2s[lo[i]:hi[i]]
+            hit &= np.asarray(pc.is_valid(t[col]))  # NULL never matches
             return t.filter(pa.array(~hit))
 
         return ds_new.map_batches(keep, batch_format="pyarrow",
@@ -365,7 +384,7 @@ def incremental_dedup(ds_new, ds_seen, col: str = "text",
     # ever makes the dropped set outgrow the broadcast bound, fall back to
     # dropping via the (still slim) id anti-join below.
     slim = ds_new.map_batches(
-        lambda t: _hash_i64(t, keep_all=True)
+        lambda t: _hash_i64(t.filter(pc.is_valid(t[col])), keep_all=True)
         .select([id_col, "content_hash", "content_hash2"]),
         batch_format="pyarrow", batch_size=None).materialize()
     n_new = slim.count()
@@ -712,18 +731,24 @@ def bucket_candidate_pairs(bucketed_ds, bucket_col: str, id_col: str,
         return pa.table({"id_a": pa.array(a, type=pa.int64()),
                          "id_b": pa.array(b, type=pa.int64()), **cols})
 
-    return bucketed_ds.map_batches(add_gb, batch_format="pyarrow",
-                                   batch_size=None) \
+    from ..rayutil import anchor_empty_schema
+    out = bucketed_ds.map_batches(add_gb, batch_format="pyarrow",
+                                  batch_size=None) \
         .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+    return anchor_empty_schema(out, _empty().schema)
 
 
-def distinct_pairs(pairs_ds, num_groups: int = 64, carry: tuple = ()):
+def distinct_pairs(pairs_ds, num_groups: int = 64, carry: tuple = (),
+                   carry_types: "Optional[dict]" = None):
     """Distributed pair dedupe: ONE shuffle on a pair-hash bucket, then a
     vectorized lexsort-unique per group. (Ray's native multi-key count
     aggregate measured ~30× slower on a 2M-row/124k-group pair list than
     this shape — per-group accumulator overhead.) ``carry`` columns keep
     the first surviving row's value (callers use it when the value is
-    identical across a pair's duplicates, e.g. a deterministic score)."""
+    identical across a pair's duplicates, e.g. a deterministic score);
+    ``carry_types`` declares their arrow types so the empty-input schema
+    anchor stays exact (a wrong anchor type would silently promote the
+    non-empty result at concat)."""
 
     def add_gb(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -755,9 +780,16 @@ def distinct_pairs(pairs_ds, num_groups: int = 64, carry: tuple = ()):
                 cols[c] = pc.take(col, kidx)
         return pa.table(cols)
 
-    return pairs_ds.map_batches(add_gb, batch_format="pyarrow",
-                                batch_size=None) \
+    from ..rayutil import anchor_empty_schema
+    out = pairs_ds.map_batches(add_gb, batch_format="pyarrow",
+                               batch_size=None) \
         .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+    ct = carry_types or {}
+    if all(c in ct for c in carry):
+        anchor = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]
+                           + [(c, ct[c]) for c in carry])
+        out = anchor_empty_schema(out, anchor)
+    return out
 
 
 def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
@@ -1206,7 +1238,9 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                                    hot_cap=hot_cap, num_groups=num_groups,
                                    payload_col="simhash",
                                    skip_counter=skip_counter)
-    pairs = distinct_pairs(pairs, carry=("pl_a", "pl_b"))
+    pairs = distinct_pairs(pairs, carry=("pl_a", "pl_b"),
+                           carry_types={"pl_a": pa.uint64(),
+                                        "pl_b": pa.uint64()})
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -398,14 +398,19 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     ex = _BandedExplode(vec_col, id_col, n_tables, planes_per_table, seed)
     exploded = ds.map_batches(lambda t, _s=ex: _s(t),
                               batch_format="pyarrow", batch_size=None)
-    pairs = exploded.map_batches(add_gb, batch_format="pyarrow",
-                                 batch_size=None) \
-        .groupby("_gb").map_groups(per_group, batch_format="pyarrow")
+    from ..rayutil import anchor_empty_schema
+    pairs = anchor_empty_schema(
+        exploded.map_batches(add_gb, batch_format="pyarrow",
+                             batch_size=None)
+        .groupby("_gb").map_groups(per_group, batch_format="pyarrow"),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("cosine", pa.float64())]))
     # a pair found by several tables scores IDENTICALLY in each (same
     # normalized vectors) → first-wins bucket dedupe (vectorized; Ray's
     # native multi-key max-agg is ~30× slower per distinct_pairs note)
     from .dedup import distinct_pairs
-    deduped = distinct_pairs(pairs, carry=("cosine",))
+    deduped = distinct_pairs(pairs, carry=("cosine",),
+                             carry_types={"cosine": pa.float64()})
     if as_dataset:
         return deduped
     out = deduped.to_pandas()

@@ -22,6 +22,17 @@ WS_TOKEN_RE = r"\S+"
 # runs, or single non-space punctuation
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# RE2 character class EXACTLY equal to Arrow ``utf8_split_whitespace``'s
+# (and Python ``str.split()``'s) Unicode whitespace set — verified by
+# exhaustive code-point enumeration (tests/test_fuzz_regressions.py):
+# ASCII \t-\r and \x1c-\x1f, space, NEL \x85, plus the Zs/Zl/Zp
+# categories (NBSP, EN/EM spaces, line/para separators, …). RE2's own
+# ``\s`` is ASCII-only ([\t\n\f\r ]) — a SQL oracle mirroring a
+# utf8_split_whitespace / str.split tokenization must use THIS class,
+# or the two sides disagree on \x0b, NBSP and friends (fuzz-found).
+UNICODE_WS_CLASS = r"[\t-\r\x1c-\x1f \x85\p{Zs}\p{Zl}\p{Zp}]"
+UNICODE_TOKEN_RE = r"[^\t-\r\x1c-\x1f \x85\p{Zs}\p{Zl}\p{Zp}]+"
+
 
 def token_count_batch(tbl: pa.Table, col: str = "text") -> pa.Table:
     c = tbl[col]

@@ -82,6 +82,23 @@ def _sorted_segments(t: pa.Table, key: str, ts_col: str, id_col: str):
     return t, ts_us, boundary
 
 
+def _anchored(bucketed, per_bucket, in_ds, schema_of):
+    """groupby(_kb).map_groups with an empty-input schema anchor: Ray 2.49
+    never calls per_bucket on an EMPTY dataset and the result then has no
+    schema (a fully filtered stream would lose its column list at the
+    sink). ``schema_of`` builds the group fn's exact output schema from the
+    PRE-bucket input schema (fetching it runs at most one upstream block)."""
+    from ..rayutil import anchor_empty_schema, input_arrow_schema
+    out_ds = bucketed.groupby("_kb").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+    in_sch = input_arrow_schema(in_ds)
+    try:
+        anchor = schema_of(in_sch) if in_sch is not None else None
+    except Exception:       # e.g. the keyed column missing from the input
+        anchor = None
+    return anchor_empty_schema(out_ds, anchor)
+
+
 def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",
                    id_col: str = "event_id", out: str = "gap_us",
                    num_buckets: int = 256):
@@ -108,8 +125,9 @@ def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",
         return pa.table({id_col: t[id_col],
                          out: pa.array(gap, from_pandas=True)})
 
-    return bucketed.groupby("_kb").map_groups(per_bucket,
-                                              batch_format="pyarrow")
+    return _anchored(bucketed, per_bucket, ds,
+                     lambda s: pa.schema([(id_col, s.field(id_col).type),
+                                          (out, pa.float64())]))
 
 
 def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
@@ -147,8 +165,9 @@ def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
                          "n_sessions": pa.array(counts, type=pa.int64())})
 
     bucketed = _bucket_by_key_hash(ds, key, num_buckets, "_kb")
-    return bucketed.groupby("_kb").map_groups(per_bucket,
-                                              batch_format="pyarrow")
+    return _anchored(bucketed, per_bucket, ds,
+                     lambda s: pa.schema([(key, s.field(key).type),
+                                          ("n_sessions", pa.int64())]))
 
 
 def event_paths(ds, key: str = "user_id", ts_col: str = "ts",
@@ -191,5 +210,6 @@ def event_paths(ds, key: str = "user_id", ts_col: str = "ts",
         keys_arr = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
         return pa.table({key: pc.take(keys_arr, kidx), out: joined})
 
-    return bucketed.groupby("_kb").map_groups(per_bucket,
-                                              batch_format="pyarrow")
+    return _anchored(bucketed, per_bucket, ds,
+                     lambda s: pa.schema([(key, s.field(key).type),
+                                          (out, pa.string())]))
