@@ -884,7 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _case_exact(col: str, d: dict[str, str], fallback: "str | None") -> str:
     whens = " ".join(f"WHEN {col} = '{k}' THEN '{v}'" for k, v in d.items())
     els = f"ELSE '{fallback}'" if fallback is not None else "ELSE NULL"
-    return f"CASE {whens} {els} END"
+    # leading NULL arm: a null source means the filter never ran (null ⇔
+    # absent, S1) — the fallback applies to MISSES, not to absent sources
+    return f"CASE WHEN {col} IS NULL THEN NULL {whens} {els} END"
 
 
 def _langid_sql() -> str:
@@ -1032,7 +1034,8 @@ def oracle_sql() -> dict[str, str]:
     exact_case = _case_exact("event_type", EVENT_LABELS, "unknown")
     exact_case_nf = _case_exact("event_type", EVENT_LABELS, None)
     regex_case = (
-        "CASE WHEN regexp_matches(event_type, '^si') THEN 'starts-si' "
+        "CASE WHEN event_type IS NULL THEN NULL "
+        "WHEN regexp_matches(event_type, '^si') THEN 'starts-si' "
         "WHEN regexp_matches(event_type, 'rr') THEN 'double-r' "
         "WHEN regexp_matches(event_type, 'e') THEN 'has-e' "
         "ELSE 'none' END")
@@ -1041,6 +1044,14 @@ def oracle_sql() -> dict[str, str]:
                   "WHEN x = 'slow' THEN 'ADJ' WHEN x = 'data' THEN 'NOUN' "
                   "ELSE '?' END")
     route_case = _case_exact("event_type", EVENT_ROUTES, "ops")
+
+    def _cos(a: str, b: str) -> str:
+        # engine convention: a ZERO vector has cosine 0 to everything
+        # (similarity._normalize maps zero norm → 1, "no information");
+        # DuckDB's list_cosine_similarity returns -1 there instead
+        return (f"CASE WHEN list_dot_product({a}, {a}) = 0 "
+                f"OR list_dot_product({b}, {b}) = 0 THEN 0.0 "
+                f"ELSE list_cosine_similarity({a}, {b}) END")
     out = {
         "translate_exact":
             f"SELECT event_id, event_type, {exact_case} AS label FROM events",
@@ -1055,13 +1066,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, array_to_string(list_transform(string_split(text, ' '), "
             f"x -> {token_case}), '|') AS tags_joined FROM documents",
         "route_counts":
-            f"SELECT {route_case} AS route, COUNT(*) AS n FROM events GROUP BY 1",
+            # '(null)' mirrors sink_counts' null-route sentinel (a null
+            # key routes nowhere — same convention as transcripts_pipeline)
+            f"SELECT COALESCE({route_case}, '(null)') AS route, "
+            "COUNT(*) AS n FROM events GROUP BY 1",
         "matched_counts":
-            "SELECT event_type IN ('click','error','purchase') AS translate_matched, "
+            # coalesce: NULL IN (...) is NULL, but a null source means the
+            # filter never matched (S15) — the engine counts it false
+            "SELECT COALESCE(event_type IN ('click','error','purchase'), "
+            "FALSE) AS translate_matched, "
             "COUNT(*) AS n FROM events GROUP BY 1",
         "parse_extract":
-            "SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) "
-            "AS k_value FROM events",
+            # nullif: DuckDB regexp_extract returns '' (not NULL) on no
+            # match; TRY_CAST mirrors the engine's null-on-overflow cast
+            "SELECT event_id, TRY_CAST(nullif(regexp_extract(props, "
+            "'(\\d+)', 1), '') AS BIGINT) AS k_value FROM events",
         "agg_value_by_type":
             "SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
             "AS BIGINT) AS sum_cents FROM events GROUP BY event_type",
@@ -1074,7 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk":
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id FROM embeddings e, q "
-            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id "
+            f"ORDER BY {_cos('e.embedding', 'q.qv')} DESC, e.vec_id "
             "LIMIT 10",
         "user_event_counts":
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
@@ -1086,14 +1105,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup":
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+            f"WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4",
         # LSH path: deterministic seeded planes + P(miss/pair) ≈ 3e-4 make
         # the approximate result ID-exact vs the same exact-pairs SQL on
         # the sf tables (see q_embedding_neardup_lsh docstring)
         "embedding_neardup_lsh":
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+            f"WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4",
         # recall GATES: the Ray query computes exact-vs-approx recall and
         # emits (k, recall_ok) — the driver hash checks the asserted bound
         "lsh_topk":
@@ -1159,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join":
             "SELECT a.vec_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY a.vec_id "
-            "ORDER BY list_cosine_similarity(a.embedding, b.embedding) "
+            f"ORDER BY {_cos('a.embedding', 'b.embedding')} "
             "DESC, b.vec_id) AS nn_rank "
             "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
             "QUALIFY nn_rank <= 3",

@@ -102,6 +102,26 @@ def _set_or_append(tbl: pa.Table, name: str, arr) -> pa.Table:
     return tbl.append_column(name, arr)
 
 
+def _safe_cast(vals, ty):
+    """SQL TRY_CAST semantics: a capture that doesn't fit the target type
+    (e.g. a digit run past int64) becomes NULL instead of killing the
+    whole job — strict vectorized cast on the fast path, per-value
+    fallback only for blocks that actually contain a bad capture."""
+    try:
+        return pc.cast(vals, ty)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        target = pa.type_for_alias(ty) if isinstance(ty, str) else ty
+        out = []
+        for s in vals.to_pylist():
+            try:
+                out.append(None if s is None
+                           else pa.scalar(s).cast(target).as_py())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    OverflowError, ValueError):
+                out.append(None)
+        return pa.array(out, type=target)
+
+
 def parse_batch(tbl: pa.Table, plan) -> pa.Table:
     for rule, named, pyre in plan:
         if isinstance(rule, GrokRule):
@@ -132,7 +152,7 @@ def parse_batch(tbl: pa.Table, plan) -> pa.Table:
                         out[i] = m.group(1)
             vals = pa.array(out, type=pa.string())
         if rule.cast:
-            vals = pc.cast(vals, rule.cast)
+            vals = _safe_cast(vals, rule.cast)
         tbl = _set_or_append(tbl, rule.out, vals)
     return tbl
 
@@ -152,7 +172,7 @@ def _apply_grok(tbl: pa.Table, rule: "GrokRule") -> pa.Table:
     for g in group_names:
         vals = pc.struct_field(ext, g)
         if g in casts:
-            vals = pc.cast(vals, casts[g])
+            vals = _safe_cast(vals, casts[g])
         tbl = _set_or_append(tbl, g, vals)
     return tbl
 

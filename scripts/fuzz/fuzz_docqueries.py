@@ -107,7 +107,7 @@ def _compare(sf_dir: str, names) -> None:
                                       check_like=True, obj=name)
 
 
-@settings(max_examples=30, deadline=None, derandomize=True,
+@settings(max_examples=60, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(texts=st.lists(doc_text, min_size=1, max_size=12),
        dup_idx=st.lists(st.integers(min_value=0, max_value=11), max_size=6))
