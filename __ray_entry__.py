@@ -220,9 +220,13 @@ def q_agg_value_by_type(sf_dir: str):
         return t2.group_by(["event_type"]).aggregate([("cents", "sum")]) \
             .rename_columns(["event_type", "sum_cents"])
 
+    from logstash_filter_translate_ray.stages.aggregate import (
+        null_safe_groupby_aggregate)
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .groupby("event_type").aggregate(Sum("sum_cents", alias_name="sum_cents"))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return null_safe_groupby_aggregate(
+        partials, ["event_type"], Sum("sum_cents", alias_name="sum_cents"))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -365,7 +369,12 @@ def q_translate_iterate_maps(sf_dir: str):
         baz = pc.struct_field(pc.list_flatten(col), "baz")
         n = len(t)
         baz_np = baz.to_pylist()
-        joined = [f"{baz_np[2 * i]}|{baz_np[2 * i + 1]}" for i in range(n)]
+        # SQL string-concat null propagation: a null member (null source →
+        # baz never written, S1) nulls the whole joined value — never
+        # render Python's 'None'
+        joined = [None if baz_np[2 * i] is None or baz_np[2 * i + 1] is None
+                  else f"{baz_np[2 * i]}|{baz_np[2 * i + 1]}"
+                  for i in range(n)]
         return pa.table({"event_id": out["event_id"],
                          "baz_joined": pa.array(joined, type=pa.string())})
 
@@ -527,10 +536,23 @@ def q_winnow(sf_dir: str):
 
 
 def q_distinct_types(sf_dir: str):
-    """Set op: distinct values of a column (Ray unique — a shuffle op)."""
-    import ray.data as rd
+    """Set op: distinct values of a column — a null-safe distributed
+    groupby-count with the counts dropped (Ray's own ``unique`` rides the
+    same sort-shuffle and crashes on null keys in multi-block inputs).
+    A null value is a distinct value, like SQL DISTINCT; nulls sort last."""
+    from ray.data.aggregate import Count
+
+    from logstash_filter_translate_ray.stages.aggregate import (
+        null_safe_groupby_aggregate)
     ds = _read(sf_dir, "events", ["event_type"])
-    vals = sorted(ds.unique("event_type"))
+    counts = null_safe_groupby_aggregate(ds, ["event_type"],
+                                         Count(alias_name="n"))
+    vals = [r["event_type"] for r in
+            counts.select_columns(["event_type"]).take_all()]
+    has_null = any(v is None for v in vals)
+    vals = sorted(v for v in vals if v is not None)
+    if has_null:
+        vals.append(None)
     return pa.table({"event_type": pa.array(vals, type=pa.string())})
 
 
@@ -573,10 +595,14 @@ def q_session_counts(sf_dir: str):
 
 def q_topk_users(sf_dir: str):
     """Grouped count → multi-key sort (n desc, user_id asc) → limit 10."""
-    from logstash_filter_translate_ray.stages.aggregate import grouped_counts
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_counts, null_safe_sort)
     ds = _read(sf_dir, "events", ["user_id"])
     counts = grouped_counts(ds, ["user_id"], driver_merge=False)
-    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+    # null-safe: a null user_id is a real count group and must sort LAST
+    # within its n (DuckDB NULLS LAST), not crash the range partitioner
+    return null_safe_sort(counts, ["n", "user_id"],
+                          descending=[True, False]).limit(10)
 
 
 def q_agg_minmax(sf_dir: str):
@@ -592,11 +618,15 @@ def q_agg_minmax(sf_dir: str):
             [("cents", "min"), ("cents", "max")]) \
             .rename_columns(["event_type", "min_cents", "max_cents"])
 
+    from logstash_filter_translate_ray.stages.aggregate import (
+        null_safe_groupby_aggregate)
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .groupby("event_type").aggregate(
-            Min("min_cents", alias_name="min_cents"),
-            Max("max_cents", alias_name="max_cents"))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return null_safe_groupby_aggregate(
+        partials, ["event_type"],
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"))
 
 
 def q_filter_pushdown(sf_dir: str):
@@ -1120,7 +1150,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk":
             "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
         "events_pipeline":
-            f"SELECT {route_case} AS route, {exact_case} AS label, "
+            # '(null)' mirrors sink_counts' null-key sentinel for string
+            # group keys (route AND label both null when the source is)
+            f"SELECT COALESCE({route_case}, '(null)') AS route, "
+            f"COALESCE({exact_case}, '(null)') AS label, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2",
         "filter_pushdown":
             "SELECT event_id, event_type, value FROM events "
@@ -1134,7 +1167,10 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
             "FROM events GROUP BY event_type",
         "tumbling_counts":
-            "SELECT date_trunc('hour', ts) AS bucket, event_type, "
+            # string keys ride grouped_counts' '(null)' sentinel; the
+            # timestamp bucket key stays a REAL null (non-string keys do)
+            "SELECT date_trunc('hour', ts) AS bucket, "
+            "COALESCE(event_type, '(null)') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2",
         "window_quantiles":
             "WITH c AS (SELECT date_trunc('hour', ts) AS bucket, "

@@ -34,6 +34,99 @@ NULL_LABEL = "(null)"   # null group keys → label (Ray's sort-shuffle groupby
                         # can't order null keys; oracle SQL uses COALESCE)
 
 
+def _knull(key: str) -> str:
+    return f"__knull_{key}"
+
+
+def _zero_like(t: pa.DataType) -> pa.Scalar:
+    """A valid in-domain token of type ``t`` used ONLY as shuffle filler for
+    null keys (a parallel __knull flag column disambiguates, so collision
+    with real zeros is impossible)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    return pa.scalar(0, type=t)    # ints / floats / decimals / ts / duration
+
+
+def mask_null_keys(keys: Sequence[str]):
+    """map_batches fn: for each key column add an int8 ``__knull_<k>`` flag
+    and fill the key's nulls with the type's zero token.
+
+    Why: Ray 2.49's sort-based shuffle (``Dataset.sort`` / ``groupby`` /
+    ``unique``) range-partitions by comparing RAW key values across block
+    boundaries (np.searchsorted over object arrays once nulls force an
+    object dtype), so a null key in a multi-block dataset raises
+    ``TypeError: '<' not supported`` depending on which boundary values get
+    sampled — an input-dependent, scheduling-dependent crash (r4 fuzz).
+    Grouping/sorting by ``(filled, flag)`` is bijective with the original
+    key and never ships a None through the comparator."""
+    import pyarrow.compute as pc
+
+    def _fn(t: pa.Table) -> pa.Table:
+        for k in keys:
+            col = t[k]
+            if pa.types.is_null(col.type):
+                # untyped all-null column: give it a concrete carrier type
+                # (int8) so zero-fill is possible; unmask restores nulls
+                col = col.cast(pa.int8())
+            flag = pc.cast(pc.is_null(col), pa.int8())
+            filled = pc.fill_null(col, _zero_like(col.type))
+            t = t.set_column(t.column_names.index(k), k, filled)
+            t = t.append_column(_knull(k), flag)
+        return t
+    return _fn
+
+
+def unmask_null_keys(keys: Sequence[str]):
+    """Inverse of :func:`mask_null_keys`: restore nulls where the flag is
+    set and drop the flag columns."""
+    import pyarrow.compute as pc
+
+    def _fn(t: pa.Table) -> pa.Table:
+        for k in keys:
+            f = _knull(k)
+            isnull = pc.cast(t[f], pa.bool_())
+            col = pc.if_else(isnull, pa.scalar(None, type=t[k].type), t[k])
+            t = t.set_column(t.column_names.index(k), k, col)
+            t = t.drop_columns([f])
+        return t
+    return _fn
+
+
+def null_safe_groupby_aggregate(ds: "ray.data.Dataset",
+                                keys: Sequence[str], *aggs):
+    """``ds.groupby(keys).aggregate(*aggs)`` that tolerates null group keys
+    (see :func:`mask_null_keys` for why bare Ray groupby cannot). The flag
+    columns ride the shuffle as secondary group keys and are stripped on
+    the way out, so output rows carry REAL null keys — same convention as
+    the driver-merge paths (and SQL GROUP BY)."""
+    masked = ds.map_batches(mask_null_keys(keys), batch_format="pyarrow",
+                            batch_size=None)
+    out = masked.groupby(list(keys) + [_knull(k) for k in keys]) \
+        .aggregate(*aggs)
+    return out.map_batches(unmask_null_keys(keys), batch_format="pyarrow",
+                           batch_size=None)
+
+
+def null_safe_sort(ds: "ray.data.Dataset", cols: Sequence[str],
+                   descending: Sequence[bool]):
+    """``ds.sort`` that tolerates nulls in the sort keys. Nulls order LAST
+    within each key regardless of direction (DuckDB's default NULLS LAST),
+    via the flag column sorting ascending immediately before its key."""
+    masked = ds.map_batches(mask_null_keys(cols), batch_format="pyarrow",
+                            batch_size=None)
+    sort_cols, sort_desc = [], []
+    for c, d in zip(cols, descending):
+        sort_cols += [_knull(c), c]
+        sort_desc += [False, d]
+    out = masked.sort(sort_cols, descending=sort_desc)
+    return out.map_batches(unmask_null_keys(cols), batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _partial_counts(keys: Sequence[str], count_name: str):
     import pyarrow.compute as pc
 
@@ -66,8 +159,11 @@ def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
         # default would silently drop the whole null-keyed group (r3 review)
         return merged.groupby(list(keys), as_index=False, sort=True,
                               dropna=False)[count_name].sum()
-    return partial.groupby(list(keys)).aggregate(
-        Sum(count_name, alias_name=count_name))
+    # null-safe: non-string keys (ints, timestamps) can still be null here
+    # (only string keys get the NULL_LABEL fill above) and bare Ray groupby
+    # crashes on null keys in multi-block inputs (see mask_null_keys)
+    return null_safe_groupby_aggregate(
+        partial, list(keys), Sum(count_name, alias_name=count_name))
 
 
 def sink_counts(ds: "ray.data.Dataset", route_col: str = "route",
@@ -159,34 +255,21 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
                               batch_size=None).materialize()
     if parts_ds.count() > driver_partial_rows_max:
         # distributed fallback: one shuffle on the group key; each group's
-        # histogram merge + quantile extraction runs in a worker. Ray's
-        # sort-shuffle groupby can't order null keys — string keys ride
-        # the shuffle as the NULL_LABEL sentinel and are mapped BACK to
-        # null in per_key (parity with the driver path + oracle); other
-        # key types keep their nulls out of this path's contract.
-        def fill_key(t: pa.Table) -> pa.Table:
-            col = t[key]
-            if pa.types.is_string(col.type) \
-                    or pa.types.is_large_string(col.type):
-                t = t.set_column(t.column_names.index(key), key,
-                                 pc.fill_null(col, NULL_LABEL))
-            return t
-
-        parts_ds = parts_ds.map_batches(fill_key, batch_format="pyarrow",
+        # histogram merge + quantile extraction runs in a worker. A null
+        # group key rides the shuffle as (zero-token, __knull=1) — see
+        # mask_null_keys — and is restored in per_key, so BOTH merge paths
+        # emit a real null group key (= the quantile_disc oracle) for
+        # EVERY key type, with no sentinel-collision trade.
+        parts_ds = parts_ds.map_batches(mask_null_keys([key]),
+                                        batch_format="pyarrow",
                                         batch_size=None)
 
         def per_key(t: pa.Table) -> pd.DataFrame:
             g = t.to_pandas().dropna(subset=["cents"]) \
                 .groupby("cents", as_index=False)["cnt"].sum() \
                 .sort_values("cents")
-            kv = t[key][0].as_py()
-            if kv == NULL_LABEL:
-                # undo the shuffle-only sentinel: BOTH merge paths emit a
-                # real null group key (= the quantile_disc oracle), so the
-                # output doesn't change shape with data volume. (A genuine
-                # "(null)" string key collides with the sentinel — same
-                # documented trade as grouped_counts.)
-                kv = None
+            kv = (None if t[_knull(key)][0].as_py()
+                  else t[key][0].as_py())
             if len(g) == 0:        # all-null values: NULL quantiles, like
                 row = {key: kv,    # quantile_disc over an all-NULL group
                        **{f"p{int(round(q * 100))}": None for q in qs}}
@@ -197,8 +280,8 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
                                               qs)}
             return pd.DataFrame([row])
 
-        return parts_ds.groupby(key).map_groups(per_key,
-                                                batch_format="pyarrow")
+        return parts_ds.groupby([key, _knull(key)]) \
+            .map_groups(per_key, batch_format="pyarrow")
     parts = parts_ds.to_pandas()
     # dropna=False: a null group KEY must survive the merge like the
     # quantile_disc oracle's NULL group; null CENTS rows keep all-null
@@ -258,6 +341,13 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
     def flag(t: pa.Table) -> pa.Table:
         keys_arr, ms_all, ss_all = \
             ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if len(keys_arr) == 0:
+            # no non-null-keyed rows at all: stats is empty (and keys_arr
+            # is NULL-typed, which index_in would reject) — nothing can be
+            # an outlier; emit the empty table with the output schema
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             key: t[key].slice(0, 0),
+                             "z": pa.array([], type=pa.float64())})
         cents = _cents(t[val]).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         # a NULL key never reaches the z computation: the stats merge drops
@@ -278,4 +368,15 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
                         "z": pa.array(z)})
         return out.filter(pa.array(keep & np.isfinite(z)))
 
-    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    # schema anchor: when EVERY block filters to zero outliers Ray drops
+    # the empty blocks and the result loses its column list (r4 fuzz) —
+    # union a typed zero-row block so downstream/to_pandas keeps it
+    from ..rayutil import anchor_empty_schema, input_arrow_schema
+    out_ds = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    in_sch = input_arrow_schema(ds)
+    anchor = None
+    if in_sch is not None and id_col in in_sch.names and key in in_sch.names:
+        anchor = pa.schema([(id_col, in_sch.field(id_col).type),
+                            (key, in_sch.field(key).type),
+                            ("z", pa.float64())])
+    return anchor_empty_schema(out_ds, anchor)

@@ -58,10 +58,27 @@ def _bucket_by_key_hash(ds, key: str, num_buckets: int, bucket_col: str):
     """Add a deterministic hash-bucket column so a later groupby co-locates
     each key's rows while making only ``num_buckets`` (vectorized) group
     calls — not one per key. `pd.util.hash_array` is a fixed-key siphash,
-    stable across processes/nodes (dictionary_encode codes are NOT)."""
+    stable across processes/nodes (dictionary_encode codes are NOT).
+
+    Nulls are zero-token-FILLED before hashing: ``to_numpy`` promotes an
+    int64 block WITH nulls to float64 while a null-free block stays int64,
+    and the two representations hash differently — the same key then
+    scatters across buckets depending on block composition, duplicating
+    its group downstream (r4 fuzz). Null rows ride the zero token's
+    bucket; in-bucket segmentation separates them by the null mask."""
+    from .aggregate import _zero_like
+
     def _fn(t: pa.Table) -> pa.Table:
-        k = np.asarray(t[key].to_numpy(zero_copy_only=False))
-        hb = (pd.util.hash_array(k) % num_buckets).astype(np.int64)
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            filled = np.zeros(len(t), dtype=np.int64)
+        else:
+            filled = pc.fill_null(col, _zero_like(col.type)) \
+                .to_numpy(zero_copy_only=False)
+        hb = (pd.util.hash_array(np.asarray(filled)) % num_buckets) \
+            .astype(np.int64)
         return t.append_column(bucket_col, pa.array(hb))
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -78,7 +95,14 @@ def _sorted_segments(t: pa.Table, key: str, ts_col: str, id_col: str):
     keys_np = np.asarray(t[key].to_numpy(zero_copy_only=False))
     boundary = np.empty(len(t), dtype=bool)
     boundary[0] = True
-    boundary[1:] = keys_np[1:] != keys_np[:-1]
+    # null keys form ONE segment, like SQL GROUP BY's single NULL group:
+    # an int key column with nulls lands here as float64 NaN and
+    # NaN != NaN would split every null row into its own segment
+    # (object-dtype None != None is already False); adjacent nulls are
+    # equal by the explicit mask, null-vs-value stays a boundary
+    isnull = pc.is_null(t[key]).to_numpy(zero_copy_only=False)
+    boundary[1:] = (keys_np[1:] != keys_np[:-1]) \
+        & ~(isnull[1:] & isnull[:-1])
     return t, ts_us, boundary
 
 

@@ -54,7 +54,11 @@ def _mk_sfdir(vecs) -> str:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # None / NaN / NaT are the same absent value; pandas renders them
+        # differently depending on which side's dtype carried the null
+        nulls = pd.isna(df[c])
         df[c] = df[c].astype(str)
+        df.loc[nulls, c] = "<null>"
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 

@@ -37,6 +37,13 @@ QUERIES = ["translate_exact", "translate_exact_nofallback",
            "agg_minmax", "tumbling_counts", "window_quantiles",
            "prev_event_gap", "session_counts", "distinct_types",
            "translate_file_dict", "translate_iterate_maps"]
+# full run is ~15 min; FUZZ_SLICE="i/n" checks the i-th of n query
+# shards against the SAME derandomized tables, so n short runs give
+# full coverage (e.g. FUZZ_SLICE=0/2 then 1/2)
+_slice = os.environ.get("FUZZ_SLICE")
+if _slice:
+    i, n = (int(x) for x in _slice.split("/"))
+    QUERIES = QUERIES[i::n]
 
 # dictionary keys, near-misses, regex-feature strings, unicode
 ETYPES = ["click", "error", "purchase", "signup", "view", "Click",
@@ -79,7 +86,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == np.float64:     # -0.0 vs 0.0 both render '0.0'
             df[c] = df[c] + 0.0
+        # None / NaN / NaT are the same absent value; pandas renders them
+        # differently depending on which side's dtype carried the null
+        nulls = pd.isna(df[c])
         df[c] = df[c].astype(str)
+        df.loc[nulls, c] = "<null>"
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
