@@ -20,6 +20,10 @@ import pyarrow as pa
 
 
 def _batch_matrix(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    if len(tbl) == 0:
+        # dim is inferred from the data, so an empty block yields (0, 0) —
+        # callers must short-circuit before mixing with a non-empty side
+        return np.zeros((0, 0), dtype=np.float32)
     col = tbl[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -45,6 +49,10 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     q_ref = ray.put(qn)
 
     def local_topk(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:     # e.g. an IVF probe-filter emptied the block
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: tbl[id_col].slice(0, 0),
+                             "score": pa.array([], type=pa.float32())})
         qm = ray.get(q_ref)                       # zero-copy per node
         m = _normalize(_batch_matrix(tbl, vec_col))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
@@ -128,6 +136,11 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
 
     @ray.remote
     def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if len(ta) == 0 or len(tb) == 0:   # empty block: no pairs (and
+            return pa.table(               # _batch_matrix can't infer dim)
+                {"id_a": pa.array([], type=pa.int64()),
+                 "id_b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())})
         ma = _normalize(_batch_matrix(ta, vec_col).astype(np.float64))
         mb = ma if same else _normalize(
             _batch_matrix(tb, vec_col).astype(np.float64))
@@ -237,7 +250,14 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             # block pass (the 200k probe spent 3× the matmul time there)
             o = np.argsort(ids_b, kind="stable")
             ids_b = ids_b[o]
-            s = ma @ mb[o].T
+            # round to 12 decimals BEFORE ranking: BLAS dgemm summation
+            # order varies with matrix shape, so an identical vector pair
+            # scored from two different blocks can differ by 1 ulp and
+            # flip the (score DESC, id ASC) tie rule vs the oracle's
+            # exact tie (r4 fuzz: duplicate vectors across blocks). Only
+            # ranks are emitted; genuinely distinct cosines differ by far
+            # more than 1e-12.
+            s = np.round(ma @ mb[o].T, 12)
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
             B = s.shape[1]
             kk = min(k, B)
@@ -304,6 +324,13 @@ class _BandedExplode:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if len(t) == 0:
+            empty_vecs = pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()),
+                pa.array([], type=pa.float32())).slice(0, 0)
+            return pa.table({self.id_col: t[self.id_col].slice(0, 0),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "_nvec": empty_vecs})
         m = _normalize(_batch_matrix(t, self.vec_col).astype(np.float32))
         n, dim = m.shape
         L, r = self.n_tables, self.planes_per_table
@@ -435,6 +462,9 @@ class LshIndexStage:
         return ((m @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.append_column("lsh_bucket",
+                                     pa.array([], type=pa.int64()))
         m = _batch_matrix(tbl, self.vec_col)
         sig = self.signature(m).astype(np.int64)
         return tbl.append_column("lsh_bucket", pa.array(sig))
@@ -553,6 +583,8 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_cells: int = 16,
     probe_ref = ray.put(probe_cells)
 
     def keep_probed(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
         c = ray.get(cent_ref)
         cells = ray.get(probe_ref)
         m = _normalize(_batch_matrix(tbl, vec_col).astype(np.float64))

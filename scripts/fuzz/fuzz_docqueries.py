@@ -35,6 +35,12 @@ QUERIES = ["token_count", "langid", "quality_scores", "fingerprint",
            "dedup_exact", "curation_pipeline", "winnow",
            "repetition_scores", "vocab_topk", "jaccard_pairs", "simhash",
            "minhash_pairs", "hash_sample", "split_counts", "weighted_mix"]
+# full run is ~15 min; FUZZ_SLICE="i/n" checks the i-th of n query shards
+# against the SAME derandomized tables (full coverage in n short runs)
+_slice = os.environ.get("FUZZ_SLICE")
+if _slice:
+    i, n = (int(x) for x in _slice.split("/"))
+    QUERIES = QUERIES[i::n]
 
 # word soup biased toward stopwords/ascii (hits langid+quality branches)
 WORDS = ["the", "and", "is", "de", "la", "el", "und", "der", "le", "et",

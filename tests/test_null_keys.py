@@ -155,6 +155,49 @@ def test_grouped_quantiles_distributed_null_timestamp_key(ray_session):
     assert list(d["p50"].fillna(-1)) == list(f["p50"].fillna(-1))
 
 
+def test_similarity_tolerates_empty_blocks(ray_session):
+    """_batch_matrix infers dim by division — an empty block (tiny inputs
+    repartitioned, or an IVF probe-filter emptying a block) raised
+    ZeroDivisionError in the exact-pairs / brute-force paths (r4 fuzz)."""
+    import ray.data as rd
+
+    from logstash_filter_translate_ray.functions.similarity import (
+        brute_force_topk, embedding_neardup_pairs, ivf_topk)
+    tbl = pa.table({"vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.0]]})
+    ds = rd.from_arrow(tbl).repartition(5)      # 3 rows in 5 blocks → empties
+    pairs = embedding_neardup_pairs(ds, threshold=0.9)
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(0, 2)]
+    bf = brute_force_topk(ds, np.array([[1.0, 0.0]]), k=2)
+    assert bf["vec_id"].tolist() == [0, 2]
+    out = ivf_topk(ds, np.array([[1.0, 0.0]]), k=1, n_cells=2, n_probe=1)
+    assert len(out) == 1
+
+
+def test_knn_join_cross_block_duplicate_tie(ray_session):
+    """A vector and its exact duplicate in DIFFERENT blocks must tie and
+    rank by neighbor id ASC: BLAS dgemm summation order varies with matrix
+    shape, so without score rounding the duplicate scored from another
+    block can land 1 ulp higher and steal the lower rank (r4 fuzz)."""
+    import ray.data as rd
+
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+    v5 = [1.0, 1.0, 2.0, 0.0, 0.5, 0.5, 0.0, 1.0]
+    v6 = [1.0, 0.0, -0.5, 0.0, 0.5, 0.0, 0.0, 0.0]
+    vecs = [[0.0] * 8] * 5 + [v5, v6, [0.0] * 8, [-0.0] * 8,
+                              list(v5), [-x for x in v5]]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(
+            [[np.float32(x) for x in v] for v in vecs],
+            type=pa.list_(pa.float32()))})
+    out = knn_join(rd.from_arrow(tbl).repartition(4), k=3,
+                   target_block_rows=3)
+    mine = out[out["vec_id"] == 6].sort_values("nn_rank")
+    # v5 (id 5) and its copy (id 9) tie exactly; id 5 must rank first
+    assert mine["neighbor_id"].tolist()[:2] == [5, 9]
+
+
 def test_zscore_outliers_all_null_keys_empty(ray_session):
     import ray.data as rd
 
