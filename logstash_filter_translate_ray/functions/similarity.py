@@ -163,11 +163,23 @@ def _rowwise_sort_desc_tiebreak(s: np.ndarray, ids: np.ndarray,
     """Per-row sort by (score DESC, id ASC), trimmed to ``width`` columns —
     two stable argsorts (id pass then score pass), fully vectorized.
     Identical scores (duplicate vectors) break to the smaller id, the same
-    ORDER BY cosine DESC, id ASC the SQL mirror uses."""
+    ORDER BY cosine DESC, id ASC the SQL mirror uses.
+
+    The ORDERING pass runs on 1e-12-quantized scores: BLAS dgemm summation
+    order varies with matrix shape, so an identical vector pair scored
+    from two DIFFERENT blocks can differ by 1 ulp and flip the tie rule
+    against the oracle's exact tie (r4 fuzz). Quantizing here — on the
+    ≤(4k+k)-wide running candidate arrays, not the B×B block matrices
+    (np.round there measured 2× the matmul itself) — collapses the noise
+    where cross-block candidates actually meet; within one block,
+    identical columns get bit-identical scores from the same gemm call.
+    Raw scores are returned so repeated folds stay idempotent."""
+    q = np.rint(s * 1e12)               # order-only; ±inf ride through
     o1 = np.argsort(ids, axis=1, kind="stable")
+    q1 = np.take_along_axis(q, o1, axis=1)
     s1 = np.take_along_axis(s, o1, axis=1)
     i1 = np.take_along_axis(ids, o1, axis=1)
-    o2 = np.argsort(-s1, axis=1, kind="stable")[:, :width]
+    o2 = np.argsort(-q1, axis=1, kind="stable")[:, :width]
     return (np.take_along_axis(s1, o2, axis=1),
             np.take_along_axis(i1, o2, axis=1))
 
@@ -250,14 +262,11 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             # block pass (the 200k probe spent 3× the matmul time there)
             o = np.argsort(ids_b, kind="stable")
             ids_b = ids_b[o]
-            # round to 12 decimals BEFORE ranking: BLAS dgemm summation
-            # order varies with matrix shape, so an identical vector pair
-            # scored from two different blocks can differ by 1 ulp and
-            # flip the (score DESC, id ASC) tie rule vs the oracle's
-            # exact tie (r4 fuzz: duplicate vectors across blocks). Only
-            # ranks are emitted; genuinely distinct cosines differ by far
-            # more than 1e-12.
-            s = np.round(ma @ mb[o].T, 12)
+            # raw scores here: per-block selection is ulp-safe (identical
+            # columns in ONE gemm call score bit-identically); cross-block
+            # tie noise is collapsed at the fold/final sort, where the
+            # candidate arrays are k-wide (see _rowwise_sort_desc_tiebreak)
+            s = ma @ mb[o].T
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
             B = s.shape[1]
             kk = min(k, B)
