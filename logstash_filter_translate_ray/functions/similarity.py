@@ -41,10 +41,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def brute_force_topk(ds, query: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact cosine top-k of ``query`` (1 × D or Q × D) against the dataset.
-    Returns a pandas frame (query_idx, vec_id, score) of Q×k rows."""
+    Returns a pandas frame (query_idx, vec_id, score) of Q×k rows.
+
+    Deterministic order = the SQL mirror's ``ORDER BY cosine DESC, id
+    ASC``: float64 math (the oracle computes doubles from the stored
+    float32 values), 1e-12-quantized ORDERING (same BLAS ulp-noise
+    collapse as knn_join), and an id tie-break in BOTH the per-block
+    selection and the driver merge — score ties (zero query vector,
+    duplicate vectors at the k boundary) previously resolved to
+    argpartition/arrival order (r4 review)."""
     import ray
 
-    q = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     qn = _normalize(q)
     q_ref = ray.put(qn)
 
@@ -52,27 +60,35 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
         if len(tbl) == 0:     # e.g. an IVF probe-filter emptied the block
             return pa.table({"query_idx": pa.array([], type=pa.int32()),
                              id_col: tbl[id_col].slice(0, 0),
-                             "score": pa.array([], type=pa.float32())})
+                             "score": pa.array([], type=pa.float64())})
         qm = ray.get(q_ref)                       # zero-copy per node
-        m = _normalize(_batch_matrix(tbl, vec_col))
+        m = _normalize(_batch_matrix(tbl, vec_col).astype(np.float64))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         scores = qm @ m.T                          # Q × B
         kk = min(k, scores.shape[1])
-        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        qi, vid, sc = [], [], []
-        for qidx in range(scores.shape[0]):
-            sel = top[qidx]
-            qi.extend([qidx] * len(sel))
-            vid.extend(ids[sel].tolist())
-            sc.extend(scores[qidx, sel].tolist())
-        return pa.table({"query_idx": pa.array(qi, type=pa.int32()),
-                         id_col: pa.array(vid),
-                         "score": pa.array(sc, type=pa.float32())})
+        # per-row (score DESC, id ASC) top-kk: one shared id pre-sort,
+        # then a stable per-row argsort over the quantized scores
+        o1 = np.argsort(ids, kind="stable")
+        ids1 = ids[o1]
+        s1 = scores[:, o1]
+        o2 = np.argsort(-np.rint(s1 * 1e12), axis=1, kind="stable")[:, :kk]
+        nq = scores.shape[0]
+        return pa.table({
+            "query_idx": pa.array(np.repeat(np.arange(nq, dtype=np.int32),
+                                            kk)),
+            id_col: pa.array(ids1[o2].reshape(-1)),
+            "score": pa.array(np.take_along_axis(s1, o2, axis=1)
+                              .reshape(-1), type=pa.float64())})
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None).to_pandas()
-    out = partials.sort_values(["query_idx", "score"],
-                               ascending=[True, False]) \
-        .groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    # quantize the merge ordering too: identical vectors in different
+    # blocks can score 1 ulp apart (shape-dependent gemm summation)
+    partials["_q"] = np.rint(partials["score"].to_numpy() * 1e12)
+    out = partials.sort_values(["query_idx", "_q", id_col],
+                               ascending=[True, False, True]) \
+        .groupby("query_idx", as_index=False).head(k) \
+        .drop(columns="_q").reset_index(drop=True)
     return out
 
 

@@ -44,3 +44,17 @@ def anchor_empty_schema(out_ds, schema: Optional[pa.Schema]):
     import ray.data as rd
 
     return out_ds.union(rd.from_arrow(schema.empty_table()))
+
+
+def anchor_from_input(out_ds, in_ds, schema_of):
+    """Anchor ``out_ds``'s schema derived from ``in_ds``'s (pre-shuffle)
+    schema: ``schema_of(input_schema) -> output pa.Schema``. Any failure
+    in resolution or derivation (e.g. a keyed column missing from the
+    input) degrades to a pass-through — the anchor is a best-effort guard
+    for the all-blocks-empty case, never a correctness gate."""
+    in_sch = input_arrow_schema(in_ds)
+    try:
+        anchor = schema_of(in_sch) if in_sch is not None else None
+    except Exception:
+        anchor = None
+    return anchor_empty_schema(out_ds, anchor)

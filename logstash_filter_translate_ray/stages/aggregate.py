@@ -370,13 +370,11 @@ def zscore_outliers(ds, key: str = "event_type", val: str = "value",
 
     # schema anchor: when EVERY block filters to zero outliers Ray drops
     # the empty blocks and the result loses its column list (r4 fuzz) —
-    # union a typed zero-row block so downstream/to_pandas keeps it
-    from ..rayutil import anchor_empty_schema, input_arrow_schema
+    # union a typed zero-row block so downstream keeps the column list
+    from ..rayutil import anchor_from_input
     out_ds = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
-    in_sch = input_arrow_schema(ds)
-    anchor = None
-    if in_sch is not None and id_col in in_sch.names and key in in_sch.names:
-        anchor = pa.schema([(id_col, in_sch.field(id_col).type),
-                            (key, in_sch.field(key).type),
-                            ("z", pa.float64())])
-    return anchor_empty_schema(out_ds, anchor)
+    return anchor_from_input(
+        out_ds, ds,
+        lambda s: pa.schema([(id_col, s.field(id_col).type),
+                             (key, s.field(key).type),
+                             ("z", pa.float64())]))

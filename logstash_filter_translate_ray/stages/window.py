@@ -112,15 +112,10 @@ def _anchored(bucketed, per_bucket, in_ds, schema_of):
     schema (a fully filtered stream would lose its column list at the
     sink). ``schema_of`` builds the group fn's exact output schema from the
     PRE-bucket input schema (fetching it runs at most one upstream block)."""
-    from ..rayutil import anchor_empty_schema, input_arrow_schema
+    from ..rayutil import anchor_from_input
     out_ds = bucketed.groupby("_kb").map_groups(per_bucket,
                                                 batch_format="pyarrow")
-    in_sch = input_arrow_schema(in_ds)
-    try:
-        anchor = schema_of(in_sch) if in_sch is not None else None
-    except Exception:       # e.g. the keyed column missing from the input
-        anchor = None
-    return anchor_empty_schema(out_ds, anchor)
+    return anchor_from_input(out_ds, in_ds, schema_of)
 
 
 def prev_event_gap(ds, key: str = "user_id", ts_col: str = "ts",

@@ -14,6 +14,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts/fuzz")
 import duckdb
 import numpy as np
 import pandas as pd
@@ -28,6 +29,7 @@ from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
 import __ray_entry__ as entry_mod
+from fuzz_common import compare_result
 
 QUERIES = ["ann_topk", "knn_join", "embedding_neardup"]
 DIM = 8
@@ -51,17 +53,6 @@ def _mk_sfdir(vecs) -> str:
     return d
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        # None / NaN / NaT are the same absent value; pandas renders them
-        # differently depending on which side's dtype carried the null
-        nulls = pd.isna(df[c])
-        df[c] = df[c].astype(str)
-        df.loc[nulls, c] = "<null>"
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
 def _compare(sf_dir: str, names) -> None:
     qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
     con = duckdb.connect()
@@ -70,16 +61,8 @@ def _compare(sf_dir: str, names) -> None:
         f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')")
     for name in names:
         got = qs[name](sf_dir)
-        if isinstance(got, ray.data.Dataset):
-            got = got.to_pandas()
-        elif isinstance(got, pa.Table):
-            got = got.to_pandas()
         want = con.execute(sqls[name]).df()
-        g, w = canon(got), canon(want)
-        assert list(g.columns) == list(w.columns), (name, g.columns)
-        assert len(g) == len(w), (name, len(g), len(w), g, w)
-        pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                      check_like=True, obj=name)
+        compare_result(name, got, want)
 
 
 @settings(max_examples=40, deadline=None, derandomize=True,

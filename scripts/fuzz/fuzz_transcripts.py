@@ -15,6 +15,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts/fuzz")
 import duckdb
 import numpy as np
 import pandas as pd
@@ -28,6 +29,7 @@ ray.init(address="local", num_cpus=4, include_dashboard=False,
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
+from fuzz_common import compare_result
 from logstash_filter_translate_ray.pipelines.transcripts import (
     ROLE_ROUTES, TOOL_DICT, run_pipeline)
 
@@ -84,15 +86,6 @@ def _mirror_sql(path: str) -> str:
         "FROM e GROUP BY 1, 2")
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        nulls = pd.isna(df[c])
-        df[c] = df[c].astype(str)
-        df.loc[nulls, c] = "<null>"
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=st.lists(row, min_size=1, max_size=24))
@@ -101,11 +94,7 @@ def fuzz_transcripts(rows):
     try:
         got = run_pipeline(path)["sink_counts"]
         want = duckdb.connect().execute(_mirror_sql(path)).df()
-        g, w = canon(got), canon(want)
-        assert list(g.columns) == list(w.columns), (g.columns, w.columns)
-        assert len(g) == len(w), (len(g), len(w), g, w)
-        pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                      check_like=True)
+        compare_result("transcripts_pipeline", got, want)
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 

@@ -174,6 +174,32 @@ def test_similarity_tolerates_empty_blocks(ray_session):
     assert len(out) == 1
 
 
+def test_brute_force_topk_tie_break_and_zero_query(ray_session):
+    """(r4 review) brute_force_topk must order by (cosine DESC, id ASC)
+    like the SQL mirror: a zero query vector scores 0 against everything
+    (engine convention), so the top-k is exactly the k smallest ids; and
+    duplicate vectors tied at the k boundary break to the smaller id even
+    across blocks."""
+    import ray.data as rd
+
+    from logstash_filter_translate_ray.functions.similarity import (
+        brute_force_topk)
+    vecs = [[float(i % 3), float((i * 7) % 5), 1.0] for i in range(20)]
+    tbl = pa.table({"vec_id": pa.array(range(20), type=pa.int64()),
+                    "embedding": pa.array(vecs,
+                                          type=pa.list_(pa.float32()))})
+    out = brute_force_topk(rd.from_arrow(tbl).repartition(3),
+                           np.zeros((1, 3)), k=10)
+    assert out["vec_id"].tolist() == list(range(10))
+    dup = [[1.0, 0.0]] * 6 + [[0.9, 0.1]] * 6
+    tbl2 = pa.table({"vec_id": pa.array(range(12), type=pa.int64()),
+                     "embedding": pa.array(dup,
+                                           type=pa.list_(pa.float32()))})
+    out2 = brute_force_topk(rd.from_arrow(tbl2).repartition(4),
+                            np.array([[1.0, 0.0]]), k=4)
+    assert out2["vec_id"].tolist() == [0, 1, 2, 3]
+
+
 def test_knn_join_cross_block_duplicate_tie(ray_session):
     """A vector and its exact duplicate in DIFFERENT blocks must tie and
     rank by neighbor id ASC: BLAS dgemm summation order varies with matrix
