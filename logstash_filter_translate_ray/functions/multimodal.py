@@ -324,8 +324,9 @@ class DecodeFeatureStage:
     @staticmethod
     def _real_features(payload: bytes) -> np.ndarray:
         """REAL decoded features: images → per-channel means, pixel std,
-        luma-histogram mass in 3 bands, dims; audio → rms, zero-crossing
-        rate, duration, peak. 8-dim float32 either way."""
+        luma-histogram mass in 3 bands, dims (9-dim); audio → rms,
+        zero-crossing rate, duration, peak, mean, std, rate (8-dim).
+        float32 list either way (the fake path is always 8-dim)."""
         if not payload:
             # missing payload: zero features, not a codec error (mirrors
             # ResizeStage's passthrough for non-decodable rows)
@@ -447,6 +448,137 @@ def frame_sample_plan(n_frames: int, every: int = 10) -> list[int]:
     """Deterministic frame-sampling plan for video payloads (stub for the
     per-frame decode, real at the planning level)."""
     return list(range(0, n_frames, every))
+
+
+# ---------------------------------------------------------------------------
+# RAWV — a trivial uncompressed video container (the module's video
+# analogue of PPM: real pure-numpy codec work with zero external deps).
+# Layout: b"RAWV" | uint32 n_frames | uint32 width | uint32 height |
+#         n_frames × (height × width × 3) RGB bytes, little-endian.
+# ---------------------------------------------------------------------------
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → RAWV payload."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_rawv expects (n_frames, h, w, 3) uint8")
+    n, h, w, _ = frames.shape
+    import struct
+    return (_RAWV_MAGIC + struct.pack("<III", n, w, h)
+            + frames.tobytes())
+
+
+def rawv_info(payload: bytes) -> "tuple[int, int, int]":
+    """(n_frames, width, height) from a RAWV header."""
+    import struct
+    if payload[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    return struct.unpack("<III", payload[4:16])
+
+
+def decode_rawv_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Decode ONE frame (h, w, 3) without touching the others — the
+    point of an uncompressed container: frame k is a pure offset read."""
+    n, w, h = rawv_info(payload)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range (n={n})")
+    sz = w * h * 3
+    off = 16 + idx * sz
+    return np.frombuffer(payload[off:off + sz],
+                         dtype=np.uint8).reshape(h, w, 3)
+
+
+def make_fake_videos(n: int, n_frames: int = 24, w: int = 32, h: int = 24,
+                     seed: int = 42) -> pa.Table:
+    """Deterministic RAWV media table (media_type='video')."""
+    rng = np.random.RandomState(seed)
+    payloads = [encode_rawv(rng.randint(0, 256, (n_frames, h, w, 3))
+                            .astype(np.uint8)) for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(["video"] * n, type=pa.string()),
+        "width": pa.array(np.full(n, w), type=pa.int32()),
+        "height": pa.array(np.full(n, h), type=pa.int32()),
+        "sample_rate": pa.array([None] * n, type=pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sample stage: each video row fans out to one row
+    per sampled frame (``frame_sample_plan`` indices), the frame decoded
+    from the RAWV container and re-encoded as a standalone PPM image so
+    downstream image stages (DecodeFeatureStage / ResizeStage) compose.
+
+    Output schema: (media_id, frame_idx, payload[PPM], media_type='image',
+    width, height, sample_rate=null). Non-video rows pass through
+    UNSAMPLED with frame_idx = -1 (a mixed-media stream keeps flowing);
+    video payloads in a compressed container (MP4/WebM/…) raise
+    NotImplementedError — the honest gate, same policy as the image
+    codecs. Empty blocks return the output schema."""
+
+    def __init__(self, every: int = 10):
+        self.every = every
+
+    def _out(self, ids, fidx, payloads, mtypes, ws, hs, srs) -> pa.Table:
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(mtypes, type=pa.string()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+        })
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return self._out([], [], [], [], [], [], [])
+        ids = tbl["media_id"].to_pylist()
+        types = tbl["media_type"].to_pylist()
+        payloads = tbl["payload"].to_pylist()
+        ws = tbl["width"].to_pylist()
+        hs = tbl["height"].to_pylist()
+        srs = tbl["sample_rate"].to_pylist()
+        o = {k: [] for k in ("id", "fi", "pay", "ty", "w", "h", "sr")}
+        for mid, mtype, p, w, h, sr in zip(ids, types, payloads, ws, hs,
+                                           srs):
+            if mtype != "video" or p is None:
+                o["id"].append(mid); o["fi"].append(-1); o["pay"].append(p)
+                o["ty"].append(mtype); o["w"].append(w); o["h"].append(h)
+                o["sr"].append(sr)
+                continue
+            if p[:4] != _RAWV_MAGIC:
+                raise NotImplementedError(
+                    "compressed video container (MP4/WebM/…): only the "
+                    "uncompressed RAWV layout decodes for real in this "
+                    "environment")
+            n, vw, vh = rawv_info(p)
+            for k in frame_sample_plan(n, self.every):
+                o["id"].append(mid); o["fi"].append(k)
+                o["pay"].append(encode_ppm(decode_rawv_frame(p, k)))
+                o["ty"].append("image"); o["w"].append(vw)
+                o["h"].append(vh); o["sr"].append(None)
+        return self._out(o["id"], o["fi"], o["pay"], o["ty"], o["w"],
+                         o["h"], o["sr"])
+
+
+def frame_sample_dataset(ds, every: int = 10, concurrency: int = 2,
+                         batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+                         pool: str = "tasks"):
+    """Same ``pool`` contract as :func:`decode_features_dataset` (RAWV
+    frame reads are pure offset math — zero per-worker init — so tasks
+    by default; actors when a real demuxer loads in ``__init__``)."""
+    if pool == "tasks":
+        return ds.map_batches(FrameSampleStage(every=every),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def decode_features_dataset(ds, concurrency: int = 2,

@@ -877,3 +877,60 @@ def test_png_through_feature_and_resize_stages(ray_session):
     assert out2.shape == (16, 16, 4)            # RGBA preserved
     assert (resized.loc[0, "resized_width"],
             resized.loc[0, "resized_height"]) == (16, 10)
+
+
+def test_rawv_roundtrip_and_single_frame_read():
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (9, 12, 16, 3)).astype(np.uint8)
+    payload = multimodal.encode_rawv(frames)
+    assert multimodal.rawv_info(payload) == (9, 16, 12)
+    for k in (0, 4, 8):
+        assert np.array_equal(multimodal.decode_rawv_frame(payload, k),
+                              frames[k])
+    with pytest.raises(IndexError):
+        multimodal.decode_rawv_frame(payload, 9)
+    with pytest.raises(ValueError):
+        multimodal.rawv_info(b"NOPE" + payload[4:])
+
+
+def test_frame_sample_stage(ray_session):
+    """Video rows fan out to one PPM row per sampled frame; non-video
+    rows pass through unsampled (frame_idx -1); the sampled frames'
+    pixels round-trip exactly; compressed containers raise; composes
+    with DecodeFeatureStage downstream."""
+    import ray.data as rd
+    vids = multimodal.make_fake_videos(3, n_frames=24, w=8, h=6, seed=3)
+    audio = multimodal.make_fake_media(20, seed=5).filter(
+        pa.compute.equal(pa.compute.field("media_type"), "audio")).slice(0, 2)
+    src = pa.concat_tables([
+        vids, audio.set_column(0, "media_id",
+                               pa.array([100 + i for i in range(len(audio))],
+                                        type=pa.int64()))])
+    out = multimodal.frame_sample_dataset(
+        rd.from_arrow(src).repartition(3), every=10).to_pandas()
+    v = out[out["frame_idx"] >= 0]
+    assert sorted(v["frame_idx"].unique().tolist()) == [0, 10, 20]
+    assert len(v) == 3 * 3 and set(v["media_type"]) == {"image"}
+    # pixel-exact: sampled frame k re-decodes to the source frame k
+    p0 = vids["payload"][0].as_py()
+    row = v[(v["media_id"] == 0) & (v["frame_idx"] == 10)].iloc[0]
+    assert np.array_equal(multimodal.decode_ppm(row["payload"]),
+                          multimodal.decode_rawv_frame(p0, 10))
+    # pass-through rows keep their metadata
+    a = out[out["frame_idx"] < 0]
+    assert len(a) == len(audio) and set(a["media_type"]) == {"audio"}
+    assert a["sample_rate"].notna().all()
+    # frames compose with the image feature stage
+    feats = multimodal.decode_features_dataset(
+        rd.from_arrow(pa.Table.from_pandas(v[multimodal.MEDIA_SCHEMA.names],
+                                           preserve_index=False)),
+        use_real_codecs=True).to_pandas()
+    assert len(feats) == 9 and feats["features"].map(len).eq(9).all()
+    # honest gate for compressed containers
+    bad = vids.set_column(1, "payload",
+                          pa.array([b"\x00\x00\x00 ftypmp42" + b"x" * 64] * 3,
+                                   type=pa.binary()))
+    with pytest.raises(Exception) as ei:
+        multimodal.frame_sample_dataset(rd.from_arrow(bad)).to_pandas()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
