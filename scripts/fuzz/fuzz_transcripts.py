@@ -86,15 +86,44 @@ def _mirror_sql(path: str) -> str:
         "FROM e GROUP BY 1, 2")
 
 
+def _matched_sql(path: str) -> str:
+    """status_matched bookkeeping (S15): status parses from text with
+    \\b([1-5][0-9]{2})\\b (RE2 on both engines), matched = a STATUS_REGEX
+    dict key matched — the fallback does not count, a null status never
+    matched."""
+    return (
+        f"WITH t AS (SELECT text FROM read_parquet('{path}')), "
+        "s AS (SELECT nullif(regexp_extract(text, "
+        "'\\b([1-5][0-9]{2})\\b', 1), '') AS status FROM t) "
+        "SELECT COALESCE(status IS NOT NULL AND ("
+        "regexp_matches(status, '^2[0-9][0-9]$') OR "
+        "regexp_matches(status, '^3..') OR "
+        "regexp_matches(status, '^4..') OR "
+        "regexp_matches(status, '^5..')), FALSE) AS status_matched, "
+        "COUNT(*) AS n FROM s GROUP BY 1")
+
+
+def _convs_sql(path: str) -> str:
+    # string group key → grouped_counts' '(null)' sentinel
+    return (f"SELECT COALESCE(conv_id, '(null)') AS conv_id, "
+            f"COUNT(*) AS turns FROM read_parquet('{path}') GROUP BY 1")
+
+
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=st.lists(row, min_size=1, max_size=24))
 def fuzz_transcripts(rows):
     path = _mk_path(rows)
     try:
-        got = run_pipeline(path)["sink_counts"]
-        want = duckdb.connect().execute(_mirror_sql(path)).df()
-        compare_result("transcripts_pipeline", got, want)
+        res = run_pipeline(path)
+        con = duckdb.connect()
+        compare_result("sink_counts", res["sink_counts"],
+                       con.execute(_mirror_sql(path)).df())
+        compare_result("status_matched_counts",
+                       res["status_matched_counts"],
+                       con.execute(_matched_sql(path)).df())
+        compare_result("conv_turn_counts", res["conv_turn_counts"],
+                       con.execute(_convs_sql(path)).df())
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
