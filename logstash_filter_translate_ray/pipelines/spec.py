@@ -68,6 +68,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..config import TranslateConfig
@@ -144,18 +145,73 @@ def _keep_filter(ds, opts: "dict | None"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def _probe_step(probe, kind: str, opts) -> "pa.Table | None":
+    """Advance the 0-row schema probe through one filter step with the
+    SAME batch kernels the Dataset stages use — so the derived output
+    schema is exact by construction. Returns None (give up the anchor)
+    for steps whose schema this can't derive statically."""
+    if probe is None:
+        return None
+    try:
+        if kind == "translate":
+            o = dict(opts)
+            matched_col = o.pop("matched_col", None)
+            cfg = TranslateConfig(**o)
+            if cfg.dictionary_path:      # file-backed: skip (service-owned)
+                return None
+            from ..kernel import DictSnapshot, translate_table
+            return translate_table(probe, cfg, DictSnapshot(cfg.dictionary),
+                                   matched_col=matched_col)
+        if kind in ("grok", "extract"):
+            from ..stages.parse import _compile_plan, parse_batch
+            if kind == "grok":
+                rule = GrokRule(source=opts["source"],
+                                pattern=opts["pattern"],
+                                casts=tuple((k, v) for k, v in
+                                            opts.get("casts", {}).items()))
+            else:
+                rule = ExtractRule(out=opts["out"], source=opts["source"],
+                                   pattern=opts["pattern"],
+                                   cast=opts.get("cast"))
+            return parse_batch(probe, _compile_plan(ParseConfig(
+                rules=(rule,))))
+        if kind in ("keep", "sample", "split"):
+            if kind == "split":          # split adds its string column
+                out = (opts or {}).get("out", "split")
+                return probe.append_column(out, pa.array([],
+                                                         type=pa.string()))
+            return probe                 # pure row filters: schema unchanged
+    except Exception:
+        return None
+    return None                          # text stages etc.: not derived
+
+
 def build_from_spec(spec: "str | dict") -> "rd.Dataset":
-    """Spec → lazy Dataset (input → filters → route)."""
+    """Spec → lazy Dataset (input → filters → route).
+
+    A parquet-input spec also derives its exact output schema STATICALLY
+    (a 0-row probe table run through the same batch kernels) and anchors
+    it onto the result: Ray 2.49 drops all-empty blocks, so a spec whose
+    filters remove every row would otherwise return a dataset that has
+    lost its column list (``schema()`` None, unwritable sink)."""
     s = load_spec(spec)
     inp = s.get("input")
     if not inp or "path" not in inp:
         raise ConfigurationError("spec requires input.path")
     fmt = inp.get("format", "parquet")
+    probe = None
     if fmt == "parquet":
         kw = {}
         if inp.get("columns"):
             kw["columns"] = list(inp["columns"])
         ds = rd.read_parquet(inp["path"], **kw)
+        try:                             # metadata-only, no data read
+            import pyarrow.dataset as pads
+            probe = pads.dataset(inp["path"]).schema.empty_table()
+            if inp.get("columns"):
+                probe = probe.select(list(inp["columns"]))
+        except Exception:
+            probe = None
     elif fmt == "csv":
         ds = rd.read_csv(inp["path"])
     elif fmt == "json":
@@ -168,6 +224,7 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
             raise ConfigurationError(
                 f"filter #{i} must have exactly one key, got {list(blk)}")
         kind, opts = next(iter(blk.items()))
+        probe = _probe_step(probe, kind, opts)
         if kind == "translate":
             opts = dict(opts)
             matched_col = opts.pop("matched_col", None)
@@ -200,6 +257,16 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
         r = s["route"]
         ds = route_dataset(ds, dict(r["routes"]), key=r.get("key", "role"),
                            default_route=r.get("default", "other"))
+        if probe is not None:
+            probe = probe.append_column(
+                "route", pa.array([], type=pa.string()))
+
+    # anchor the statically-derived schema — it also gives the post
+    # clauses (dedup/window/aggregate) a schema-stable input, so THEIR
+    # all-empty outputs can derive anchors without executing anything
+    if probe is not None:
+        from ..rayutil import anchor_empty_schema
+        ds = anchor_empty_schema(ds, probe.schema)
 
     return _apply_post_clauses(ds, s)
 

@@ -162,8 +162,15 @@ def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
     # null-safe: non-string keys (ints, timestamps) can still be null here
     # (only string keys get the NULL_LABEL fill above) and bare Ray groupby
     # crashes on null keys in multi-block inputs (see mask_null_keys)
-    return null_safe_groupby_aggregate(
+    out = null_safe_groupby_aggregate(
         partial, list(keys), Sum(count_name, alias_name=count_name))
+    # schema anchor: an all-empty input yields zero groupby output blocks
+    # and the result loses its column list (Ray 2.49 drops empty blocks)
+    from ..rayutil import anchor_from_input
+    return anchor_from_input(
+        out, ds, lambda s: pa.schema(
+            [(k, s.field(k).type) for k in keys]
+            + [(count_name, pa.int64())]))
 
 
 def sink_counts(ds: "ray.data.Dataset", route_col: str = "route",
@@ -253,6 +260,11 @@ def grouped_quantiles(ds, key: str = "event_type", val: str = "value",
     # and the chosen merge don't re-execute the scan
     parts_ds = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None).materialize()
+    if parts_ds.count() == 0:
+        # all-empty input: to_pandas of an empty dataset loses the column
+        # list (Ray 2.49) and the histogram merge would KeyError on it
+        return pd.DataFrame(columns=[key] + [f"p{int(round(q * 100))}"
+                                             for q in qs])
     if parts_ds.count() > driver_partial_rows_max:
         # distributed fallback: one shuffle on the group key; each group's
         # histogram merge + quantile extraction runs in a worker. A null

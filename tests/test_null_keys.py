@@ -224,6 +224,49 @@ def test_knn_join_cross_block_duplicate_tie(ray_session):
     assert mine["neighbor_id"].tolist()[:2] == [5, 9]
 
 
+def test_spec_fully_filtered_keeps_schema(ray_session, tmp_path):
+    """A spec whose filters drop every row must still return a dataset
+    with its (statically derived) column list — Ray 2.49 drops all-empty
+    blocks and schema() would otherwise be None (unwritable sink)."""
+    import pyarrow.parquet as pq_mod
+    import ray.data  # noqa: F401
+
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+    p = str(tmp_path / "events.parquet")
+    pq_mod.write_table(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "event_type": pa.array(["click", None], type=pa.string()),
+        "props": pa.array(["k=1", None], type=pa.string())}), p)
+    spec = {"input": {"path": p},
+            "filters": [
+                {"translate": {"source": "event_type", "target": "label",
+                               "dictionary": {"click": "C"},
+                               "fallback": "?", "override": True}},
+                {"extract": {"out": "k_value", "source": "props",
+                             "pattern": r"(\d+)", "cast": "int64"}},
+                {"keep": {"column": "event_id", "op": ">", "value": 99}}],
+            "route": {"routes": {"click": "hot"}, "key": "event_type",
+                      "default": "ops"}}
+    ds = build_from_spec(spec)
+    assert ds.count() == 0
+    assert list(ds.schema().names) == [
+        "event_id", "event_type", "props", "label", "k_value", "route"]
+
+
+def test_grouped_counts_distributed_empty_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_counts, grouped_quantiles)
+    tbl = pa.table({"k": pa.array([], type=pa.string()),
+                    "value": pa.array([], type=pa.float64())})
+    out = grouped_counts(rd.from_arrow(tbl), ["k"], driver_merge=False)
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["k", "n"]
+    q = grouped_quantiles(rd.from_arrow(tbl), key="k", qs=(0.5,))
+    assert len(q) == 0 and list(q.columns) == ["k", "p50"]
+
+
 def test_zscore_outliers_all_null_keys_empty(ray_session):
     import ray.data as rd
 
