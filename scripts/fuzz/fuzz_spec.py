@@ -74,13 +74,19 @@ STEPS = {
     "sample": ({"sample": {"col": "event_id", "fraction": 0.5}},
                None,
                "md5_number_lower(CAST(event_id AS VARCHAR)) % 10000 < 5000"),
+    "grok": ({"grok": {"source": "props",
+                       "pattern": r"k=(?P<kv>\d+)",
+                       "casts": {"kv": "int64"}}},
+             ("kv", "TRY_CAST(nullif(regexp_extract(props, 'k=(\\d+)', 1),"
+                    " '') AS BIGINT)"), None),
 }
 
 step_names = st.lists(st.sampled_from(sorted(STEPS)), max_size=4,
                       unique=True)
 agg_choice = st.sampled_from([None, ("event_type", True),
                               ("event_type", False), ("user_id", False),
-                              ("label", True), ("route", True)])
+                              ("label", True), ("route", True),
+                              "quantiles"])
 
 
 def _mk_path(rows) -> str:
@@ -103,7 +109,8 @@ def _mk_path(rows) -> str:
 @given(rows=st.lists(row, min_size=1, max_size=16),
        names=step_names, use_route=st.booleans(), agg=agg_choice)
 def fuzz_spec(rows, names, use_route, agg):
-    if agg and agg[0] == "label" and "translate" not in names:
+    if isinstance(agg, tuple) and agg[0] == "label" \
+            and "translate" not in names:
         names = names + ["translate"]
     path = _mk_path(rows)
     spec = {"input": {"path": path},
@@ -112,14 +119,21 @@ def fuzz_spec(rows, names, use_route, agg):
     derived = [f"{sql} AS {col}" for n in names
                if STEPS[n][1] for col, sql in [STEPS[n][1]]]
     preds = [STEPS[n][2] for n in names if STEPS[n][2]]
-    if use_route or (agg and agg[0] == "route"):
+    if use_route or (isinstance(agg, tuple) and agg[0] == "route"):
         spec["route"] = {"routes": dict(ROUTES), "key": "event_type",
                          "default": "ops"}
         derived.append(f"{_route_case} AS route")
     sel = ", ".join(cols + derived)
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     sql = f"SELECT {sel} FROM read_parquet('{path}'){where}"
-    if agg:
+    if agg == "quantiles":
+        spec["aggregate"] = {"kind": "quantiles", "key": "event_type",
+                             "val": "value", "qs": [0.5, 0.95]}
+        sql = ("WITH c AS (SELECT event_type, CAST(round(value * 100) AS "
+               f"BIGINT) AS cents FROM ({sql})) "
+               "SELECT event_type, quantile_disc(cents, 0.5) AS p50, "
+               "quantile_disc(cents, 0.95) AS p95 FROM c GROUP BY 1")
+    elif agg:
         key, driver_merge = agg
         spec["aggregate"] = {"kind": "counts", "group_by": [key],
                              "driver_merge": driver_merge}
