@@ -22,12 +22,62 @@ store so the streaming-executed job resumes idempotently". Design
 
 from __future__ import annotations
 
+import glob
 import json
 import logging
 import os
 import shutil
 from dataclasses import asdict, dataclass, field
 from typing import Optional
+
+
+def _fsync_dir(path: str) -> None:
+    try:
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass        # directory fsync unsupported on some filesystems
+
+
+def _fsync_tree(d: str) -> None:
+    """fsync every regular file and directory under ``d`` — shard DATA
+    must be durable before the manifest certifies it (ext4 delayed
+    allocation can otherwise persist the fsync'd manifest but lose the
+    unfsync'd parquet it points at, and resume would then skip the shard
+    forever: silent data loss)."""
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            try:
+                fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+        _fsync_dir(root)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _tmp_pid(path: str) -> Optional[int]:
+    """PID embedded in a '<base>.<pid>.tmp' path; None for the legacy
+    pid-less '.tmp' form."""
+    parts = path.split(".")
+    if len(parts) >= 3 and parts[-1] == "tmp" and parts[-2].isdigit():
+        return int(parts[-2])
+    return None
 
 
 @dataclass
@@ -76,7 +126,17 @@ class CheckpointStore:
     def load_all(self) -> list[ShardManifest]:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
-            if name.endswith(".json") and not name.endswith(".tmp"):
+            if name.endswith(".tmp"):
+                # crashed-commit litter: remove once its writer is gone
+                # (a live pid is mid-commit — leave its tmp alone)
+                pid = _tmp_pid(name)
+                if pid is None or not _pid_alive(pid):
+                    try:
+                        os.unlink(os.path.join(self.manifest_dir, name))
+                    except OSError:
+                        pass
+                continue
+            if name.endswith(".json"):
                 m = self._read(os.path.join(self.manifest_dir, name))
                 if m is not None:
                     out.append(m)
@@ -85,39 +145,57 @@ class CheckpointStore:
     def commit(self, manifest: ShardManifest) -> None:
         """Write the manifest atomically AND durably (write → fsync →
         rename → dir fsync): without the fsyncs a power loss can promote
-        an empty file past the rename barrier."""
+        an empty file past the rename barrier. The tmp name carries this
+        process's pid so two overlapping runs can't truncate each
+        other's in-flight commit."""
         p = self._path(manifest.shard_id)
-        tmp = p + ".tmp"
+        tmp = f"{p}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(asdict(manifest), f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
-        try:
-            dfd = os.open(self.manifest_dir, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-        except OSError:
-            pass    # directory fsync unsupported on some filesystems
+        _fsync_dir(self.manifest_dir)
 
     def shard_output_dir(self, shard_id: str) -> str:
         return os.path.join(self.root, f"shard={shard_id}")
 
+    def _shard_tmp(self, shard_id: str) -> str:
+        # pid-suffixed so overlapping runs never write into (or rmtree)
+        # each other's in-progress dir
+        return f"{self.shard_output_dir(shard_id)}.{os.getpid()}.tmp"
+
     def begin_shard(self, shard_id: str) -> str:
-        """Return a tmp output dir for the shard (cleared if left over)."""
-        tmp = self.shard_output_dir(shard_id) + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        """Return a tmp output dir for the shard. Stale tmp dirs (ours,
+        legacy pid-less, or from DEAD processes) are cleared; a tmp dir
+        owned by a LIVE other process means two runs share this
+        checkpoint root — fail loudly instead of corrupting each other's
+        in-progress shard output."""
+        final = self.shard_output_dir(shard_id)
+        for stale in glob.glob(final + ".*.tmp") + [final + ".tmp"]:
+            if not os.path.exists(stale):
+                continue
+            pid = _tmp_pid(stale)
+            if pid is not None and pid != os.getpid() and _pid_alive(pid):
+                raise RuntimeError(
+                    f"shard {shard_id!r} is being written by live process "
+                    f"{pid} ({stale}) — two runs share checkpoint root "
+                    f"{self.root!r}; wait for it or use a separate root")
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp = self._shard_tmp(shard_id)
         os.makedirs(tmp, exist_ok=True)
         return tmp
 
     def finish_shard(self, shard_id: str) -> str:
-        """Atomically promote the shard tmp dir to final."""
+        """Atomically AND durably promote the shard tmp dir to final:
+        the data files fsync BEFORE the rename (a durable manifest must
+        never certify unflushed parquet) and the parent dir fsyncs after
+        (the rename itself survives power loss)."""
         final = self.shard_output_dir(shard_id)
-        tmp = final + ".tmp"
+        tmp = self._shard_tmp(shard_id)
+        _fsync_tree(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        _fsync_dir(self.root)
         return final

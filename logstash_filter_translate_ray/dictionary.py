@@ -312,7 +312,13 @@ class FileDictionary:
 
     def _load(self, raise_exception: bool) -> bool:
         try:
-            self._mtime = os.path.getmtime(self.path)
+            # capture the mtime BEFORE reading (a writer landing between
+            # the read and a post-read stat would be skipped forever) but
+            # RECORD it only after a successful parse: recording it here
+            # would poison the refresh gate on a transient failure (e.g.
+            # catching a non-atomic writer mid-write) and the completed
+            # file would never reload (r4 review)
+            mtime = os.path.getmtime(self.path)
             items = self._loader()
         except FileNotFoundError as e:
             # file.rb:54-55 — warn, continue with old dictionary; but the
@@ -337,8 +343,14 @@ class FileDictionary:
         for k, v in items:
             new_items[k] = v
         self._items = new_items
+        # publish snapshot BEFORE the version bump: the service's reads
+        # are unlocked, and the old order let a reader observe version
+        # v+1 while fetching snapshot v (a stale-dict window until the
+        # next poll). Either assignment is atomic under the GIL, so the
+        # worst interleaving now is (v, new snapshot) — harmless.
+        self._mtime = mtime
+        self._snapshot = DictSnapshot(new_items, version=self._version + 1)
         self._version += 1
-        self._snapshot = DictSnapshot(new_items, version=self._version)
         return True
 
 

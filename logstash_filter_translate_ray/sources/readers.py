@@ -23,7 +23,12 @@ _CONVERT = pacsv.ConvertOptions(
     # divergence. Postgres-style split: an UNQUOTED empty cell is null,
     # a QUOTED "" survives as the empty string.
     strings_can_be_null=True,
-    quoted_strings_can_be_null=False)
+    quoted_strings_can_be_null=False,
+    # ONLY the empty cell means null: pyarrow's default null_values list
+    # would also nullify literal 'NA'/'NULL'/'null'/'NaN'/'n/a' strings —
+    # legitimate, lookupable dict keys via the parquet/JSON sources —
+    # breaking source-agnosticism (r4 review)
+    null_values=[""])
 
 
 def read_transcripts_csv(paths: "str | list[str]") -> "rd.Dataset":

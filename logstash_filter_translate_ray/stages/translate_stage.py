@@ -169,7 +169,6 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "num_cpus": num_cpus,
                               "batch_size": batch_size}
     if cfg.dictionary_path:
-        name = service_name or f"lftr-dict:{cfg.dictionary_path}"
         service_kwargs = dict(
             path=cfg.dictionary_path,
             refresh_interval=cfg.refresh_interval,
@@ -177,6 +176,15 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
             yaml_code_point_limit=cfg.yaml_dictionary_code_point_limit,
             yaml_load_strategy=cfg.yaml_load_strategy,
         )
+        # the default name folds the FULL refresh config in: get-or-create
+        # with get_if_exists silently ignores kwargs when the name already
+        # exists, so two pipelines sharing a path but differing in (say)
+        # refresh_behaviour would otherwise reuse one actor and one of
+        # them would run with the OTHER's semantics (r4 review). An
+        # explicit service_name remains the user's opt-in to share.
+        cfg_sig = "|".join(f"{k}={service_kwargs[k]}"
+                           for k in sorted(service_kwargs))
+        name = service_name or f"lftr-dict:{cfg_sig}"
         # eagerly create (and first-load) the service so a bad dictionary
         # fails at pipeline BUILD time, matching register-time behavior (S13)
         svc = get_or_create_dictionary_service(name, **service_kwargs)
