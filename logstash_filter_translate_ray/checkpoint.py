@@ -102,9 +102,21 @@ class CheckpointStore:
         return os.path.join(self.manifest_dir, f"{shard_id}.json")
 
     def is_done(self, shard_id: str) -> bool:
-        # existence is not enough: a crashed/corrupt manifest must count
-        # as NOT done so the shard re-runs instead of silently dropping
-        return self.load(shard_id) is not None
+        # a readable manifest is not enough: it must still point at REAL
+        # output (an operator deleting only the shard dir, or data lost
+        # in a crash window, must re-run the shard — never silently drop
+        # its rows from every future aggregate)
+        m = self.load(shard_id)
+        if m is None:
+            return False
+        if m.rows_out > 0 and m.output_dir and not os.path.isdir(
+                m.output_dir):
+            logging.getLogger(__name__).warning(
+                "manifest for shard %s exists but its output dir %s is "
+                "missing — treating the shard as not done; it will re-run",
+                shard_id, m.output_dir)
+            return False
+        return True
 
     def _read(self, path: str) -> Optional[ShardManifest]:
         try:

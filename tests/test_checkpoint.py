@@ -9,8 +9,12 @@ from logstash_filter_translate_ray.checkpoint import CheckpointStore, ShardManif
 
 def test_manifest_roundtrip(tmp_path):
     store = CheckpointStore(str(tmp_path / "ck"))
+    out = str(tmp_path / "ck" / "shard=00003")
+    import os
+    os.makedirs(out)
+    # is_done requires the certified output dir to EXIST for rows_out > 0
     m = ShardManifest(shard_id="00003", input_files=["a.parquet"],
-                      output_dir="/x", rows_in=10, rows_out=10,
+                      output_dir=out, rows_in=10, rows_out=10,
                       route_counts={"r": 10}, matched_counts={"True": 4})
     assert not store.is_done("00003")
     store.commit(m)

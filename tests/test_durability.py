@@ -72,6 +72,26 @@ def test_load_all_cleans_dead_manifest_tmp_litter(tmp_path):
     os.unlink(live)
 
 
+def test_is_done_requires_output_dir(tmp_path):
+    """A manifest certifying rows whose shard dir is GONE (manual delete,
+    crash window) must re-run, not silently drop its rows forever."""
+    store = CheckpointStore(str(tmp_path))
+    tmp = store.begin_shard("00005")
+    with open(os.path.join(tmp, "p.parquet"), "w") as f:
+        f.write("d")
+    final = store.finish_shard("00005")
+    store.commit(_manifest("00005", final))
+    assert store.is_done("00005")
+    import shutil
+    shutil.rmtree(final)
+    assert not store.is_done("00005")
+    # zero-row shards legitimately have no files to point at
+    store.commit(ShardManifest(shard_id="00006", input_files=["x"],
+                               output_dir=str(tmp_path / "shard=00006"),
+                               rows_in=0, rows_out=0))
+    assert store.is_done("00006")
+
+
 def test_dictionary_failed_reload_does_not_poison_mtime_gate(tmp_path):
     """A transient parse failure (catching a non-atomic writer mid-write)
     must not record the new mtime: the valid content that lands at the
