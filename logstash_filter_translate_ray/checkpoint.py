@@ -27,6 +27,7 @@ import json
 import logging
 import os
 import shutil
+import time
 from dataclasses import asdict, dataclass, field
 from typing import Optional
 
@@ -71,13 +72,78 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _tmp_pid(path: str) -> Optional[int]:
-    """PID embedded in a '<base>.<pid>.tmp' path; None for the legacy
-    pid-less '.tmp' form."""
+def _proc_start(pid: int) -> Optional[int]:
+    """Kernel start time (clock ticks since boot) of a LOCAL pid, or None
+    where /proc is unavailable. Distinguishes a recycled PID from the
+    original owner — os.kill(pid, 0) alone cannot."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # field 2 (comm) may contain spaces/parens — parse after the
+        # LAST ')'; start time is the 22nd field = index 19 after comm
+        fields = stat[stat.rindex(b")") + 2:].split()
+        return int(fields[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _local_host() -> str:
+    import socket
+    import re
+    return re.sub(r"[^A-Za-z0-9_-]", "-", socket.gethostname()) or "host"
+
+
+def _tmp_owner(path: str):
+    """(host, pid, start) embedded in a tmp path, any of them None for
+    older suffix forms:
+
+    - ``<base>.<host>.<pid>-<start>.tmp``  (current)
+    - ``<base>.<pid>.tmp``                 (legacy: no host, no start)
+    - ``<base>.tmp``                       (legacy pid-less)
+    """
     parts = path.split(".")
-    if len(parts) >= 3 and parts[-1] == "tmp" and parts[-2].isdigit():
-        return int(parts[-2])
-    return None
+    if len(parts) < 2 or parts[-1] != "tmp":
+        return None, None, None
+    tok = parts[-2]
+    if tok.isdigit():                          # legacy <pid>
+        return None, int(tok), None
+    if "-" in tok and len(parts) >= 4:
+        pid_s, _, start_s = tok.partition("-")
+        if pid_s.isdigit() and start_s.isdigit():
+            return parts[-3], int(pid_s), int(start_s)
+    return None, None, None
+
+
+def _owner_alive(path: str, foreign_lease_s: float) -> bool:
+    """Is the process that owns this tmp path still alive?
+
+    Same-host owners are PID-probed, and a pid that IS alive but whose
+    /proc start time differs from the recorded one is a recycled PID —
+    stale. Foreign-host owners can't be probed (checkpoint roots may be
+    shared over NFS); they are presumed alive while the tmp is younger
+    than ``foreign_lease_s`` (advisor r4: never rmtree another node's
+    in-progress write, never wedge forever on its crash litter)."""
+    host, pid, start = _tmp_owner(path)
+    if host is not None and host != _local_host():
+        try:
+            age = time.time() - os.stat(path).st_mtime
+        except OSError:
+            return False                      # vanished — owner finished
+        return age < foreign_lease_s
+    if pid is None:
+        return False                          # legacy pid-less: stale
+    if not _pid_alive(pid):
+        return False
+    if start is not None:
+        now_start = _proc_start(pid)
+        if now_start is not None and now_start != start:
+            return False                      # recycled PID
+    return True
+
+
+def _tmp_suffix() -> str:
+    start = _proc_start(os.getpid())
+    return f".{_local_host()}.{os.getpid()}-{start or 0}.tmp"
 
 
 @dataclass
@@ -93,8 +159,11 @@ class ShardManifest:
 
 
 class CheckpointStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, foreign_lease_s: float = 86400.0):
         self.root = root
+        # how long a FOREIGN host's in-progress tmp is presumed live (it
+        # can't be PID-probed across nodes); same-host tmps are probed
+        self.foreign_lease_s = foreign_lease_s
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -140,11 +209,11 @@ class CheckpointStore:
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.endswith(".tmp"):
                 # crashed-commit litter: remove once its writer is gone
-                # (a live pid is mid-commit — leave its tmp alone)
-                pid = _tmp_pid(name)
-                if pid is None or not _pid_alive(pid):
+                # (a live owner is mid-commit — leave its tmp alone)
+                full = os.path.join(self.manifest_dir, name)
+                if not _owner_alive(full, self.foreign_lease_s):
                     try:
-                        os.unlink(os.path.join(self.manifest_dir, name))
+                        os.unlink(full)
                     except OSError:
                         pass
                 continue
@@ -158,10 +227,11 @@ class CheckpointStore:
         """Write the manifest atomically AND durably (write → fsync →
         rename → dir fsync): without the fsyncs a power loss can promote
         an empty file past the rename barrier. The tmp name carries this
-        process's pid so two overlapping runs can't truncate each
-        other's in-flight commit."""
+        process's host/pid/start-time so two overlapping runs — even on
+        different nodes of a shared root — can't truncate each other's
+        in-flight commit."""
         p = self._path(manifest.shard_id)
-        tmp = f"{p}.{os.getpid()}.tmp"
+        tmp = f"{p}{_tmp_suffix()}"
         with open(tmp, "w") as f:
             json.dump(asdict(manifest), f, indent=1)
             f.flush()
@@ -173,25 +243,27 @@ class CheckpointStore:
         return os.path.join(self.root, f"shard={shard_id}")
 
     def _shard_tmp(self, shard_id: str) -> str:
-        # pid-suffixed so overlapping runs never write into (or rmtree)
-        # each other's in-progress dir
-        return f"{self.shard_output_dir(shard_id)}.{os.getpid()}.tmp"
+        # host/pid/start-suffixed so overlapping runs never write into
+        # (or rmtree) each other's in-progress dir — including runs on
+        # OTHER nodes when the checkpoint root is shared (NFS)
+        return f"{self.shard_output_dir(shard_id)}{_tmp_suffix()}"
 
     def begin_shard(self, shard_id: str) -> str:
         """Return a tmp output dir for the shard. Stale tmp dirs (ours,
-        legacy pid-less, or from DEAD processes) are cleared; a tmp dir
-        owned by a LIVE other process means two runs share this
-        checkpoint root — fail loudly instead of corrupting each other's
-        in-progress shard output."""
+        legacy pid-less, recycled-PID, or from DEAD processes) are
+        cleared; a tmp dir owned by a LIVE other process — same-host
+        PID-probed, foreign-host presumed live within the lease — means
+        two runs share this checkpoint root: fail loudly instead of
+        corrupting each other's in-progress shard output."""
         final = self.shard_output_dir(shard_id)
+        mine = self._shard_tmp(shard_id)
         for stale in glob.glob(final + ".*.tmp") + [final + ".tmp"]:
             if not os.path.exists(stale):
                 continue
-            pid = _tmp_pid(stale)
-            if pid is not None and pid != os.getpid() and _pid_alive(pid):
+            if stale != mine and _owner_alive(stale, self.foreign_lease_s):
                 raise RuntimeError(
-                    f"shard {shard_id!r} is being written by live process "
-                    f"{pid} ({stale}) — two runs share checkpoint root "
+                    f"shard {shard_id!r} is being written by a live "
+                    f"process ({stale}) — two runs share checkpoint root "
                     f"{self.root!r}; wait for it or use a separate root")
             shutil.rmtree(stale, ignore_errors=True)
         tmp = self._shard_tmp(shard_id)

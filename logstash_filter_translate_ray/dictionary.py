@@ -27,6 +27,7 @@ import csv
 import io
 import json
 import os
+import threading
 import time
 from typing import Any, Iterator, Optional
 
@@ -129,7 +130,11 @@ def _yaml_top_level_items(data: Any, path: str) -> list[tuple[str, Any]]:
 
 # --- YAML: streaming event-walk with plain-scalar coercion -----------------
 
-_SCALAR_RESOLVER = None
+# thread-local: SafeConstructor carries mutable in-flight state
+# (constructed_objects / recursive_objects) that two concurrent
+# FileDictionary loads in one process would otherwise clear out from
+# under each other mid-construct (advisor r4)
+_SCALAR_RESOLVER = threading.local()
 
 
 def _coerce_plain_scalar(text: str) -> Any:
@@ -142,12 +147,13 @@ def _coerce_plain_scalar(text: str) -> Any:
     identically to a full load — the old regexes turned '1e3' into a float
     that one_shot keeps as a string, crashed on the all-underscore scalar
     '_', and accepted the YAML-1.2-only 0o7 octal form (review r4 fuzz)."""
-    global _SCALAR_RESOLVER
     import yaml
-    if _SCALAR_RESOLVER is None:
-        _SCALAR_RESOLVER = (yaml.resolver.Resolver(),
-                            yaml.constructor.SafeConstructor())
-    resolver, constructor = _SCALAR_RESOLVER
+    pair = getattr(_SCALAR_RESOLVER, "pair", None)
+    if pair is None:
+        pair = (yaml.resolver.Resolver(),
+                yaml.constructor.SafeConstructor())
+        _SCALAR_RESOLVER.pair = pair
+    resolver, constructor = pair
     tag = resolver.resolve(yaml.nodes.ScalarNode, text, (True, False))
     node = yaml.nodes.ScalarNode(tag, text)
     try:

@@ -92,17 +92,27 @@ def _sorted_segments(t: pa.Table, key: str, ts_col: str, id_col: str):
                                         (id_col, "ascending")])
     t = t.take(idx)
     ts_us = _ts_to_epoch_us(t[ts_col])
-    keys_np = np.asarray(t[key].to_numpy(zero_copy_only=False))
-    boundary = np.empty(len(t), dtype=bool)
+    n = len(t)
+    boundary = np.empty(n, dtype=bool)
     boundary[0] = True
-    # null keys form ONE segment, like SQL GROUP BY's single NULL group:
-    # an int key column with nulls lands here as float64 NaN and
-    # NaN != NaN would split every null row into its own segment
-    # (object-dtype None != None is already False); adjacent nulls are
-    # equal by the explicit mask, null-vs-value stays a boundary
-    isnull = pc.is_null(t[key]).to_numpy(zero_copy_only=False)
-    boundary[1:] = (keys_np[1:] != keys_np[:-1]) \
-        & ~(isnull[1:] & isnull[:-1])
+    if n > 1:
+        # adjacency computed IN ARROW on the raw values — to_numpy would
+        # promote a nulls-bearing int64 key to float64 and silently merge
+        # distinct keys >= 2^53 into one segment. Null keys form ONE
+        # segment, like SQL GROUP BY's single NULL group: pc.equal yields
+        # null where either side is null, so adjacent nulls are made equal
+        # by the explicit mask while null-vs-value stays a boundary.
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_null(col.type):
+            same = np.ones(n - 1, dtype=bool)
+        else:
+            eq = pc.fill_null(pc.equal(col.slice(1), col.slice(0, n - 1)),
+                              False).to_numpy(zero_copy_only=False)
+            same = np.asarray(eq, dtype=bool) | (isnull[1:] & isnull[:-1])
+        boundary[1:] = ~same
     return t, ts_us, boundary
 
 

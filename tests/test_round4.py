@@ -137,6 +137,11 @@ def test_grouped_quantiles_fallback_null_key_parity(ray_session):
     fb = grouped_quantiles(rd.from_arrow(tbl), qs=(0.5,),
                            driver_partial_rows_max=0).to_pandas() \
         .sort_values("event_type", na_position="last").reset_index(drop=True)
+    # normalize None vs NaN in the object key column — pandas treats the
+    # mismatch as a FutureWarning today and a failure tomorrow
+    for df in (driver, fb):
+        df["event_type"] = df["event_type"].astype(object).where(
+            df["event_type"].notna(), None)
     pd.testing.assert_frame_equal(fb[driver.columns], driver,
                                   check_dtype=False)
     assert pd.isna(fb.loc[1, "event_type"])     # not the "(null)" sentinel
@@ -743,7 +748,9 @@ def test_checkpoint_corrupt_manifest_reruns(tmp_path):
     from logstash_filter_translate_ray.checkpoint import (CheckpointStore,
                                                           ShardManifest)
     store = CheckpointStore(str(tmp_path))
-    store.commit(ShardManifest("s0", ["a.parquet"], "out", 10, 10))
+    out_dir = tmp_path / "shard=s0"             # is_done requires the
+    out_dir.mkdir()                             # certified output to exist
+    store.commit(ShardManifest("s0", ["a.parquet"], str(out_dir), 10, 10))
     assert store.is_done("s0")
     # corrupt it the way delayed allocation does: renamed but empty
     with open(store._path("s0"), "w"):
@@ -752,8 +759,12 @@ def test_checkpoint_corrupt_manifest_reruns(tmp_path):
     assert store.load("s0") is None
     assert store.load_all() == []               # no crash, no ghost rows
     # a fresh commit repairs it
-    store.commit(ShardManifest("s0", ["a.parquet"], "out", 10, 10))
+    store.commit(ShardManifest("s0", ["a.parquet"], str(out_dir), 10, 10))
     assert store.is_done("s0") and len(store.load_all()) == 1
+    # and the output-existence guard itself: deleting the certified
+    # output dir flips is_done back to False (shard re-runs)
+    out_dir.rmdir()
+    assert not store.is_done("s0")
 
 
 def test_dictionary_service_cross_handle_consistency(ray_session, tmp_path):
