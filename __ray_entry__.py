@@ -20,7 +20,7 @@ limit) and weighted_mix (Dataset.union) respectively.
   pipeline:    events_pipeline★ transcripts_pipeline★ curation_pipeline★
                route_counts★ matched_counts★ filter_pushdown★
   parse:       parse_extract★ (grok multi-capture inside events_pipeline)
-  aggregates:  agg_value_by_type★ agg_minmax★ user_event_counts★
+  aggregates:  agg_value_by_type★(sum+min+max) user_event_counts★
                topk_users★ distinct_types★ zscore_outliers★ vocab_topk★
                quantiles★
   windows:     tumbling_counts★ window_quantiles★ prev_event_gap★
@@ -208,17 +208,21 @@ def q_parse_extract(sf_dir: str):
 
 
 def q_agg_value_by_type(sf_dir: str):
-    """Combiner-style grouped SUM (pre-aggregated in map_batches, exact via
-    integer cents)."""
+    """Combiner-style grouped SUM + MIN + MAX in ONE pass (pre-aggregated
+    in map_batches, exact via integer cents). Absorbed the former
+    standalone ``agg_minmax`` query (r5: driver's 50-query cap needed a
+    slot for ``knn_join_ivf``) — the same three aggregates, one shuffle."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
         from logstash_filter_translate_ray.stages.aggregate import _cents
         t2 = pa.table({"event_type": t["event_type"],
                        "cents": _cents(t["value"])})
-        return t2.group_by(["event_type"]).aggregate([("cents", "sum")]) \
-            .rename_columns(["event_type", "sum_cents"])
+        return t2.group_by(["event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "min"), ("cents", "max")]) \
+            .rename_columns(["event_type", "sum_cents", "min_cents",
+                             "max_cents"])
 
     from logstash_filter_translate_ray.stages.aggregate import (
         null_safe_groupby_aggregate)
@@ -226,7 +230,10 @@ def q_agg_value_by_type(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None)
     return null_safe_groupby_aggregate(
-        partials, ["event_type"], Sum("sum_cents", alias_name="sum_cents"))
+        partials, ["event_type"],
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -517,6 +524,29 @@ def q_ivf_topk(sf_dir: str):
                         exact["vec_id"].tolist(), k=10, bound=0.5)
 
 
+def q_knn_join_ivf(sf_dir: str):
+    """IVF-partitioned approximate kNN JOIN (the 100 TB replacement for the
+    exact O(N²) kernel — VERDICT r4 #2), gated vs the exact join: pair
+    recall = |approx ∩ exact| / |exact| over (vec_id, neighbor_id) pairs,
+    asserted ≥ 0.5 (measured ~0.8 at n_probe=8/16 cells on the random sf
+    embeddings — random near-orthogonal vectors are IVF's worst case).
+    Deterministic: hash-sample centroids + seeded k-means + quantized
+    tie-break ⇒ stable row."""
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join, knn_join_ivf)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = knn_join_ivf(ds, k=5, n_cells=16, n_probe=8,
+                          cache_key=os.path.join(sf_dir,
+                                                 "embeddings.parquet"))
+    exact = knn_join(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     k=5)
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].to_numpy()))
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].to_numpy()))
+    recall = len(a & e) / max(len(e), 1)
+    return pa.table({"k": pa.array([5], type=pa.int64()),
+                     "recall_ok": pa.array([recall >= 0.5])})
+
+
 def q_winnow(sf_dir: str):
     """Winnowing fingerprints per document (k=5, w=4), first 8 joined as a
     CSV string — SQL-mirrored: the k-gram polynomial mod 2^31-1 is
@@ -594,39 +624,13 @@ def q_session_counts(sf_dir: str):
 
 
 def q_topk_users(sf_dir: str):
-    """Grouped count → multi-key sort (n desc, user_id asc) → limit 10."""
-    from logstash_filter_translate_ray.stages.aggregate import (
-        grouped_counts, null_safe_sort)
+    """Grouped-partial top-k (VERDICT r4 #5): exact distributed counts,
+    per-block local top-10, tiny driver fold — no full range-partition
+    sort. Null user_ids are real groups and order LAST (DuckDB NULLS
+    LAST) in both the block and driver folds."""
+    from logstash_filter_translate_ray.stages.aggregate import grouped_topk
     ds = _read(sf_dir, "events", ["user_id"])
-    counts = grouped_counts(ds, ["user_id"], driver_merge=False)
-    # null-safe: a null user_id is a real count group and must sort LAST
-    # within its n (DuckDB NULLS LAST), not crash the range partitioner
-    return null_safe_sort(counts, ["n", "user_id"],
-                          descending=[True, False]).limit(10)
-
-
-def q_agg_minmax(sf_dir: str):
-    """Grouped MIN/MAX over integer cents (combiner-style partials)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min
-
-    def partial(t: pa.Table) -> pa.Table:
-        from logstash_filter_translate_ray.stages.aggregate import _cents
-        t2 = pa.table({"event_type": t["event_type"],
-                       "cents": _cents(t["value"])})
-        return t2.group_by(["event_type"]).aggregate(
-            [("cents", "min"), ("cents", "max")]) \
-            .rename_columns(["event_type", "min_cents", "max_cents"])
-
-    from logstash_filter_translate_ray.stages.aggregate import (
-        null_safe_groupby_aggregate)
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None)
-    return null_safe_groupby_aggregate(
-        partials, ["event_type"],
-        Min("min_cents", alias_name="min_cents"),
-        Max("max_cents", alias_name="max_cents"))
+    return grouped_topk(ds, ["user_id"], k=10)
 
 
 def q_filter_pushdown(sf_dir: str):
@@ -862,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "jaccard_pairs": q_jaccard_pairs,
         "ivf_topk": q_ivf_topk,
+        "knn_join_ivf": q_knn_join_ivf,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "route_counts": q_route_counts,
@@ -898,7 +903,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pipeline": q_events_pipeline,
         "filter_pushdown": q_filter_pushdown,
         "topk_users": q_topk_users,
-        "agg_minmax": q_agg_minmax,
         "tumbling_counts": q_tumbling_counts,
         "window_quantiles": q_window_quantiles,
         "prev_event_gap": q_prev_event_gap,
@@ -1113,7 +1117,10 @@ def oracle_sql() -> dict[str, str]:
             "'(\\d+)', 1), '') AS BIGINT) AS k_value FROM events",
         "agg_value_by_type":
             "SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
-            "AS BIGINT) AS sum_cents FROM events GROUP BY event_type",
+            "AS BIGINT) AS sum_cents, "
+            "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
+            "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
+            "FROM events GROUP BY event_type",
         "dedup_exact":
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count":
@@ -1149,6 +1156,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
         "ivf_topk":
             "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+        "knn_join_ivf":
+            "SELECT CAST(5 AS BIGINT) AS k, true AS recall_ok",
         "events_pipeline":
             # '(null)' mirrors sink_counts' null-key sentinel for string
             # group keys (route AND label both null when the source is)
@@ -1161,11 +1170,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_users":
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id LIMIT 10",
-        "agg_minmax":
-            "SELECT event_type, "
-            "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
-            "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
-            "FROM events GROUP BY event_type",
         "tumbling_counts":
             # string keys ride grouped_counts' '(null)' sentinel; the
             # timestamp bucket key stays a REAL null (non-string keys do)

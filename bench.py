@@ -142,7 +142,8 @@ def run_bench(scaling_mode: bool = False) -> dict:
                  "prev_event_gap", "event_paths", "zscore_outliers",
                  "vocab_topk", "winnow", "quality_scores",
                  "curation_pipeline", "incremental_dedup", "quantiles",
-                 "knn_join", "hash_sample", "multimodal_real_decode"]:
+                 "knn_join", "knn_join_ivf", "hash_sample",
+                 "multimodal_real_decode"]:
         fn = em.queries()[name]
         best = None
         for _ in range(2):
@@ -163,6 +164,12 @@ def run_bench(scaling_mode: bool = False) -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        # determinism stamps (VERDICT r4 #7): every number above is a
+        # min-of-N; the load averages date the host contention so
+        # cross-round comparisons stop needing archaeology
+        "headline_passes": 3,
+        "query_passes": 2,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     ray.shutdown()
     return result
@@ -199,6 +206,8 @@ def run_scaling() -> dict:
         "speedup": round(r_lo["value"] / r_hi["value"], 3),
         "scaling_efficiency": round(eff, 3),
         "turns": r_lo["turns"], "sf": r_lo["sf"],
+        "passes_per_level": 3,          # alternating, min kept per level
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
 
 

@@ -57,6 +57,13 @@ class TranslateConfig:
     # empty list in the values shape). Default False keeps the engine's
     # columnar convention (null ⇔ absent, SURVEY §8).
     nil_is_present: bool = False
+    # Opt-in reference-parity for a MISSING dictionary file at first load
+    # (dictionary/file.rb:54-58 rescues Errno::ENOENT and registers with an
+    # empty dict; refresh picks the file up once it appears). Default False
+    # keeps the engine's loud DictionaryFileError — at 100 TB a silently
+    # empty dictionary is usually a misconfiguration, not a feature
+    # (deviation documented in SURVEY §8).
+    missing_file_ok: bool = False
 
     def __post_init__(self) -> None:
         self._validate()

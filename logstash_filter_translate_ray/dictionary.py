@@ -264,7 +264,8 @@ class FileDictionary:
     def __init__(self, path: str, refresh_interval: float = 300,
                  refresh_behaviour: str = "merge",
                  yaml_code_point_limit: Optional[int] = None,
-                 yaml_load_strategy: str = "one_shot"):
+                 yaml_load_strategy: str = "one_shot",
+                 missing_file_ok: bool = False):
         if is_yaml_path(path):
             self._loader = lambda: load_yaml_items(
                 path, yaml_code_point_limit or YAML_CODE_POINT_LIMIT_DEFAULT,
@@ -283,6 +284,7 @@ class FileDictionary:
         self.path = path
         self.refresh_behaviour = refresh_behaviour
         self.refresh_interval = refresh_interval
+        self.missing_file_ok = missing_file_ok
         self._short_refresh = refresh_interval <= SHORT_REFRESH_MAX
         self._mtime: Optional[float] = None
         self._items: dict[str, Any] = {}
@@ -327,11 +329,24 @@ class FileDictionary:
             mtime = os.path.getmtime(self.path)
             items = self._loader()
         except FileNotFoundError as e:
-            # file.rb:54-55 — warn, continue with old dictionary; but the
-            # FIRST load (raise_exception=True) must fail loudly: a missing
-            # file at register time otherwise leaves _snapshot=None and
-            # every consumer dies later with a bare AssertionError (S13)
+            # file.rb:54-55 — warn, continue with old dictionary; the
+            # FIRST load (raise_exception=True) fails loudly by DEFAULT: a
+            # missing file at register time otherwise leaves _snapshot=None
+            # and every consumer dies later with a bare AssertionError
+            # (S13, deliberate deviation — SURVEY §8). ``missing_file_ok``
+            # opts back into the reference's exact ENOENT rescue
+            # (register with an EMPTY dictionary, warn, let refresh pick
+            # the file up once it appears — translate_spec.rb:212-230).
             if raise_exception:
+                if self.missing_file_ok:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "dictionary file read failure, continuing with "
+                        "empty dictionary (missing_file_ok): %s", self.path)
+                    self._snapshot = DictSnapshot({},
+                                                  version=self._version + 1)
+                    self._version += 1
+                    return False
                 raise DictionaryFileError(
                     f"Translate: {e} when loading dictionary file at "
                     f"{self.path}") from e
@@ -369,5 +384,6 @@ def create_dictionary(cfg) -> "MemoryDictionary | FileDictionary":
             refresh_behaviour=cfg.refresh_behaviour,
             yaml_code_point_limit=cfg.yaml_dictionary_code_point_limit,
             yaml_load_strategy=cfg.yaml_load_strategy,
+            missing_file_ok=getattr(cfg, "missing_file_ok", False),
         )
     return MemoryDictionary(cfg.dictionary)

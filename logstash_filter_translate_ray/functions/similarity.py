@@ -200,6 +200,26 @@ def _rowwise_sort_desc_tiebreak(s: np.ndarray, ids: np.ndarray,
             np.take_along_axis(i1, o2, axis=1))
 
 
+def _select_topk_cols(s: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row indices of the top-``kk`` SCORE SET of matrix ``s`` via O(B)
+    argpartition; rows whose kth-score tie straddles the boundary get an
+    exact (score, then position) fix-up — with columns pre-sorted by id,
+    taking the FIRST equal columns resolves ties to the smallest ids.
+    Rare except for duplicate vectors."""
+    B = s.shape[1]
+    if kk >= B:
+        return np.broadcast_to(np.arange(B), s.shape).copy()
+    kth = np.partition(s, B - kk, axis=1)[:, B - kk]
+    sel = np.argpartition(s, B - kk, axis=1)[:, B - kk:]
+    n_gt = (s > kth[:, None]).sum(axis=1)
+    n_eq = (s == kth[:, None]).sum(axis=1)
+    for r in np.nonzero(n_gt + n_eq > kk)[0]:
+        gt = np.nonzero(s[r] > kth[r])[0]
+        eq = np.nonzero(s[r] == kth[r])[0][: kk - len(gt)]
+        sel[r] = np.concatenate([gt, eq])
+    return sel
+
+
 def knn_join(ds, k: int = 3, vec_col: str = "embedding",
              id_col: str = "vec_id", max_blocks: int = 64,
              target_block_rows: int = 4096,
@@ -284,22 +304,7 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             # candidate arrays are k-wide (see _rowwise_sort_desc_tiebreak)
             s = ma @ mb[o].T
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
-            B = s.shape[1]
-            kk = min(k, B)
-            if kk == B:
-                sel = np.broadcast_to(np.arange(B), s.shape).copy()
-            else:
-                # top-kk SET by score via O(B) argpartition; rows whose
-                # kth-score tie straddles the boundary get an exact
-                # (score, id) fix-up — rare except for duplicate vectors
-                kth = np.partition(s, B - kk, axis=1)[:, B - kk]
-                sel = np.argpartition(s, B - kk, axis=1)[:, B - kk:]
-                n_gt = (s > kth[:, None]).sum(axis=1)
-                n_eq = (s == kth[:, None]).sum(axis=1)
-                for r in np.nonzero(n_gt + n_eq > kk)[0]:
-                    gt = np.nonzero(s[r] > kth[r])[0]
-                    eq = np.nonzero(s[r] == kth[r])[0][: kk - len(gt)]
-                    sel[r] = np.concatenate([gt, eq])
+            sel = _select_topk_cols(s, min(k, s.shape[1]))
             run_s = np.concatenate(
                 [run_s, np.take_along_axis(s, sel, axis=1)], axis=1)
             run_i = np.concatenate([run_i, ids_b[sel]], axis=1)
@@ -328,6 +333,216 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
         import ray.data as rd
         return rd.from_arrow_refs(futures)
     out = pa.concat_tables(ray.get(futures)).to_pandas()
+    return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+
+
+def _topk_against(q_ids: np.ndarray, q_m: np.ndarray, m_ids: np.ndarray,
+                  m_m: np.ndarray, k: int, qchunk: int, mchunk: int):
+    """Exact (score DESC, id ASC) top-k of every query row against the
+    member matrix, self-pairs excluded. Memory is bounded at
+    qchunk × mchunk × 8 B for the transient score matrix plus the ≤5k-wide
+    running fold — NEVER len(q) × len(m) — so one hot IVF cell cannot blow
+    a worker's heap. Returns (vec_id, neighbor_id, score) 1-D arrays."""
+    o = np.argsort(m_ids, kind="stable")        # columns id-sorted once:
+    m_ids = m_ids[o]                            # boundary ties resolve to
+    m_m = m_m[o]                                # the smallest ids
+    out_q, out_i, out_s = [], [], []
+    for qs in range(0, len(q_ids), qchunk):
+        qi = q_ids[qs:qs + qchunk]
+        qm = q_m[qs:qs + qchunk]
+        nq = len(qi)
+        run_s = np.empty((nq, 0), dtype=np.float64)
+        run_i = np.empty((nq, 0), dtype=np.int64)
+        for ms in range(0, len(m_ids), mchunk):
+            mi = m_ids[ms:ms + mchunk]
+            s = qm @ m_m[ms:ms + mchunk].T
+            s[qi[:, None] == mi[None, :]] = -np.inf     # exclude self
+            sel = _select_topk_cols(s, min(k, s.shape[1]))
+            run_s = np.concatenate(
+                [run_s, np.take_along_axis(s, sel, axis=1)], axis=1)
+            run_i = np.concatenate([run_i, mi[sel]], axis=1)
+            if run_s.shape[1] > 4 * k:          # fold: width stays ≤ 5k
+                run_s, run_i = _rowwise_sort_desc_tiebreak(run_s, run_i, k)
+        run_s, run_i = _rowwise_sort_desc_tiebreak(
+            run_s, run_i, min(k, run_s.shape[1]))
+        valid = run_s > -np.inf
+        counts = valid.sum(axis=1)
+        out_q.append(np.repeat(qi, counts))
+        out_i.append(run_i[valid])
+        out_s.append(run_s[valid])
+    if not out_q:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    return (np.concatenate(out_q), np.concatenate(out_i),
+            np.concatenate(out_s))
+
+
+def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
+                 seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id", num_groups: int = 64,
+                 sample_n: int = 2048, cache_key: Optional[str] = None,
+                 qchunk: int = 4096, mchunk: int = 8192,
+                 as_dataset: bool = False):
+    """IVF-partitioned APPROXIMATE cosine k-NN join — the 100 TB path the
+    exact :func:`knn_join` cannot be (its compute is inherently O(N²)).
+
+    Shape (every step is a Dataset op; nothing materializes on the driver):
+
+    1. Coarse centroids via :func:`build_ivf_centroids` (driver k-means on
+       a ≤``sample_n`` deterministic hash sample; broadcast via
+       ``ray.put``).
+    2. One ``map_batches`` pass routes each vector to its ``n_probe``
+       nearest cells (one matmul per batch against the broadcast
+       centroids). The row is a *member* only of its NEAREST cell and a
+       *query* in all probed cells — so a (query, neighbor) pair can meet
+       in exactly ONE cell (the neighbor's home) and the join emits no
+       duplicate pairs by construction. Shuffle volume is
+       n_probe × (id + normalized float32 vector) per row.
+    3. Hash-bucketed ``groupby(cell)`` (``num_groups`` group calls): per
+       cell, exact chunked top-k of the cell's queries against the cell's
+       members (:func:`_topk_against` — memory bounded at qchunk × mchunk
+       per task regardless of cell size).
+    4. Hash-bucketed ``groupby(vec_id)`` merge: each query's ≤ n_probe × k
+       candidates fold to the global top-k with the canonical
+       (1e-12-quantized score DESC, id ASC) rule, ranks assigned 1..k.
+
+    Compute is O(N²/n_cells × n_probe) instead of O(N²): pick
+    n_cells ≈ √N at scale. Recall < 1.0 by design (a true neighbor whose
+    home cell the query does not probe is missed); raise ``n_probe`` to
+    trade compute for recall. Output schema matches :func:`knn_join`
+    (vec_id, nn_rank, neighbor_id); ``as_dataset=True`` streams.
+    """
+    import ray
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from .dedup import _group_of
+    from ..rayutil import anchor_empty_schema
+
+    sub = ds.select_columns([id_col, vec_col])
+    if sub.count() == 0:        # Ray's empty to_pandas loses the schema —
+        empty = pd.DataFrame(   # short-circuit before the centroid sample
+            {"vec_id": pd.Series([], dtype="int64"),
+             "nn_rank": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64")})
+        return rd.from_pandas(empty) if as_dataset else empty
+    cent = build_ivf_centroids(sub, n_cells, sample_n=sample_n, seed=seed,
+                               vec_col=vec_col, id_col=id_col,
+                               cache_key=cache_key)
+    cent_ref = ray.put(cent)
+    np_eff = min(n_probe, len(cent))
+
+    def route(t: pa.Table) -> pa.Table:
+        empty_vecs = pa.ListArray.from_arrays(
+            pa.array([0], type=pa.int32()),
+            pa.array([], type=pa.float32())).slice(0, 0)
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "_cell": pa.array([], type=pa.int32()),
+                             "_member": pa.array([], type=pa.bool_()),
+                             "_nvec": empty_vecs})
+        c = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(t, vec_col).astype(np.float64))
+        n, dim = m.shape
+        # stable argsort ⇒ probe[0] == np.argmax ⇒ the member cell matches
+        # ivf_topk's assignment rule exactly
+        order = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :np_eff]
+        cells = order.reshape(-1).astype(np.int32)
+        member = np.zeros(n * np_eff, dtype=bool)
+        member[::np_eff] = True
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rep = np.ascontiguousarray(
+            np.repeat(m.astype(np.float32), np_eff, axis=0))
+        offs = pa.array(np.arange(0, (n * np_eff + 1) * dim, dim,
+                                  dtype=np.int32))
+        vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
+        return pa.table({id_col: pa.array(np.repeat(ids, np_eff),
+                                          type=pa.int64()),
+                         "_cell": pa.array(cells),
+                         "_member": pa.array(member),
+                         "_nvec": vecs})
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        cells = t["_cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_gb", pa.array(_group_of(cells, num_groups)))
+
+    def per_cell_group(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "_nid": pa.array([], type=pa.int64()),
+                          "_score": pa.array([], type=pa.float64())})
+        if len(t) == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[("_cell", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        cells = t["_cell"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        member = t["_member"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(t, "_nvec").astype(np.float64)  # pre-normalized
+        starts = np.nonzero(np.concatenate(
+            ([True], cells[1:] != cells[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(t)]))
+        parts = []
+        for s, e in zip(starts, ends):
+            mem = member[s:e]
+            if not mem.any():
+                continue
+            qs, ni, sc = _topk_against(ids[s:e], m[s:e],
+                                       ids[s:e][mem], m[s:e][mem],
+                                       k, qchunk, mchunk)
+            if len(qs):
+                parts.append(pa.table({id_col: pa.array(qs, type=pa.int64()),
+                                       "_nid": pa.array(ni, type=pa.int64()),
+                                       "_score": pa.array(sc,
+                                                          type=pa.float64())}))
+        return pa.concat_tables(parts) if parts else empty
+
+    def add_qb(t: pa.Table) -> pa.Table:
+        q = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column("_qb", pa.array(_group_of(q, num_groups)))
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "nn_rank": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64())})
+        q = t[id_col].to_numpy(zero_copy_only=False)
+        nid = t["_nid"].to_numpy(zero_copy_only=False)
+        # 1e-12-quantized ORDERING + id tie-break: pairs score in exactly
+        # one cell, but two DIFFERENT neighbors at a true cosine tie may
+        # have been scored in different gemm shapes (1-ulp noise)
+        sq = np.rint(t["_score"].to_numpy(zero_copy_only=False) * 1e12)
+        order = np.lexsort((nid, -sq, q))
+        qo = q[order]
+        seg = np.concatenate(([True], qo[1:] != qo[:-1]))
+        seg_start = np.nonzero(seg)[0]
+        pos = np.arange(len(qo)) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(qo)]))))
+        keep = pos < k
+        return pa.table({
+            "vec_id": pa.array(qo[keep], type=pa.int64()),
+            "nn_rank": pa.array(pos[keep] + 1, type=pa.int64()),
+            "neighbor_id": pa.array(nid[order][keep], type=pa.int64())})
+
+    routed = sub.map_batches(route, batch_format="pyarrow", batch_size=None)
+    cand = anchor_empty_schema(
+        routed.map_batches(add_gb, batch_format="pyarrow", batch_size=None)
+        .groupby("_gb").map_groups(per_cell_group, batch_format="pyarrow"),
+        pa.schema([(id_col, pa.int64()), ("_nid", pa.int64()),
+                   ("_score", pa.float64())]))
+    merged = anchor_empty_schema(
+        cand.map_batches(add_qb, batch_format="pyarrow", batch_size=None)
+        .groupby("_qb").map_groups(merge_group, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("nn_rank", pa.int64()),
+                   ("neighbor_id", pa.int64())]))
+    if as_dataset:
+        return merged
+    out = merged.to_pandas()
+    if "vec_id" not in out.columns:     # fully-empty: schema-less to_pandas
+        out = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                            "nn_rank": pd.Series([], dtype="int64"),
+                            "neighbor_id": pd.Series([], dtype="int64")})
     return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
 
 

@@ -56,11 +56,22 @@ Optional post-route clauses (applied in this order):
                # incremental: seen_path (+ optional seen_columns) names the
                # already-ingested corpus; rows whose content appears there
                # are dropped (exact content-hash anti-join)
+    post_filters: [...]   # same filter kinds as `filters`, applied AFTER
+               # dedup — stages that must see only the survivors (e.g. the
+               # curation flagship's token counting)
+    knn:       {kind: exact | ivf, k: 5, ...kwargs}
+               # kNN join over an embedding column: replaces the rows with
+               # the (vec_id, nn_rank, neighbor_id) graph. kind 'ivf' is
+               # the IVF-partitioned approximate join (the 100 TB path)
     window:    {kind: tumbling | gap | sessions | paths, ...kwargs}
     aggregate: {group_by: [route, tool_label], count_name: n,
                 driver_merge: false}            # kind: counts (default)
     aggregate: {kind: quantiles, key: event_type, val: value,
                 qs: [0.5, 0.95, 0.99]}          # exact p50/p95/p99
+
+With ``post_filters`` + ``select`` the whole curation flagship (quality →
+keep → langid → keep → exact dedup → tokens) is a spec with no Python —
+see tests/test_round5.py::test_spec_curation_flagship.
 """
 
 from __future__ import annotations
@@ -175,15 +186,63 @@ def _probe_step(probe, kind: str, opts) -> "pa.Table | None":
                                    cast=opts.get("cast"))
             return parse_batch(probe, _compile_plan(ParseConfig(
                 rules=(rule,))))
-        if kind in ("keep", "sample", "split"):
+        if kind in ("keep", "sample", "split", "select"):
             if kind == "split":          # split adds its string column
                 out = (opts or {}).get("out", "split")
                 return probe.append_column(out, pa.array([],
                                                          type=pa.string()))
+            if kind == "select":
+                return probe.select(list((opts or {}).get("columns", [])))
             return probe                 # pure row filters: schema unchanged
     except Exception:
         return None
     return None                          # text stages etc.: not derived
+
+
+def _apply_filters(ds, blocks, probe=None):
+    """One row-local filter chain (shared by ``filters`` and
+    ``post_filters``). Returns (ds, probe) — the probe advances through
+    statically-derivable steps and goes None past the rest."""
+    for i, blk in enumerate(blocks):
+        if len(blk) != 1:
+            raise ConfigurationError(
+                f"filter #{i} must have exactly one key, got {list(blk)}")
+        kind, opts = next(iter(blk.items()))
+        probe = _probe_step(probe, kind, opts)
+        if kind == "translate":
+            opts = dict(opts)
+            matched_col = opts.pop("matched_col", None)
+            cfg = TranslateConfig(**opts)
+            ds = translate_dataset(ds, cfg, matched_col=matched_col)
+        elif kind == "grok":
+            rule = GrokRule(source=opts["source"], pattern=opts["pattern"],
+                            casts=tuple((k, v) for k, v in
+                                        opts.get("casts", {}).items()))
+            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
+        elif kind == "extract":
+            rule = ExtractRule(out=opts["out"], source=opts["source"],
+                               pattern=opts["pattern"],
+                               cast=opts.get("cast"))
+            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
+        elif kind in _TEXT_STAGES:
+            ds = _TEXT_STAGES[kind](ds, **(opts or {}))
+        elif kind == "keep":
+            ds = _keep_filter(ds, opts)
+        elif kind == "select":
+            cols = (opts or {}).get("columns")
+            if not cols:
+                raise ConfigurationError(
+                    f"select requires a columns list, got {opts!r}")
+            ds = ds.select_columns(list(cols))
+        elif kind == "sample":
+            from ..functions import sampling as _sampling
+            ds = _sampling.hash_sample(ds, **(opts or {}))
+        elif kind == "split":
+            from ..functions import sampling as _sampling
+            ds = _sampling.split_column(ds, **(opts or {}))
+        else:
+            raise ConfigurationError(f"unknown filter kind {kind!r}")
+    return ds, probe
 
 
 def build_from_spec(spec: "str | dict") -> "rd.Dataset":
@@ -219,39 +278,7 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
     else:
         raise ConfigurationError(f"unknown input format {fmt!r}")
 
-    for i, blk in enumerate(s.get("filters", [])):
-        if len(blk) != 1:
-            raise ConfigurationError(
-                f"filter #{i} must have exactly one key, got {list(blk)}")
-        kind, opts = next(iter(blk.items()))
-        probe = _probe_step(probe, kind, opts)
-        if kind == "translate":
-            opts = dict(opts)
-            matched_col = opts.pop("matched_col", None)
-            cfg = TranslateConfig(**opts)
-            ds = translate_dataset(ds, cfg, matched_col=matched_col)
-        elif kind == "grok":
-            rule = GrokRule(source=opts["source"], pattern=opts["pattern"],
-                            casts=tuple((k, v) for k, v in
-                                        opts.get("casts", {}).items()))
-            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
-        elif kind == "extract":
-            rule = ExtractRule(out=opts["out"], source=opts["source"],
-                               pattern=opts["pattern"],
-                               cast=opts.get("cast"))
-            ds = parse_dataset(ds, ParseConfig(rules=(rule,)))
-        elif kind in _TEXT_STAGES:
-            ds = _TEXT_STAGES[kind](ds, **(opts or {}))
-        elif kind == "keep":
-            ds = _keep_filter(ds, opts)
-        elif kind == "sample":
-            from ..functions import sampling as _sampling
-            ds = _sampling.hash_sample(ds, **(opts or {}))
-        elif kind == "split":
-            from ..functions import sampling as _sampling
-            ds = _sampling.split_column(ds, **(opts or {}))
-        else:
-            raise ConfigurationError(f"unknown filter kind {kind!r}")
+    ds, probe = _apply_filters(ds, s.get("filters", []), probe)
 
     if "route" in s:
         r = s["route"]
@@ -295,6 +322,23 @@ def _apply_post_clauses(ds, s: dict):
             ds = _dedup.incremental_dedup(ds, seen, **d)
         else:
             raise ConfigurationError(f"unknown dedup kind {kind!r}")
+
+    if "post_filters" in s:
+        # row-local stages that must see only the dedup SURVIVORS (the
+        # curation flagship's token counting runs here)
+        ds, _ = _apply_filters(ds, s["post_filters"])
+
+    if "knn" in s:
+        kn = dict(s["knn"])
+        kind = kn.pop("kind", "exact")
+        from ..functions import similarity as _sim
+        if kind == "exact":
+            ds = _sim.knn_join(ds, as_dataset=True, **kn)
+        elif kind == "ivf":
+            ds = _sim.knn_join_ivf(ds, as_dataset=True, **kn)
+        else:
+            raise ConfigurationError(
+                f"knn.kind must be exact|ivf, got {kind!r}")
 
     if "window" in s:
         w = dict(s["window"])

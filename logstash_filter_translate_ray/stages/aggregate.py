@@ -173,6 +173,40 @@ def grouped_counts(ds: "ray.data.Dataset", keys: Sequence[str],
             + [(count_name, pa.int64())]))
 
 
+def grouped_topk(ds: "ray.data.Dataset", keys: Sequence[str], k: int = 10,
+                 count_name: str = "n") -> pd.DataFrame:
+    """Top-``k`` groups by row count WITHOUT a full distributed sort
+    (VERDICT r4 #5): exact distributed grouped counts (combiner partials +
+    null-safe groupby), then every counts BLOCK emits its local
+    (count DESC, keys ASC, NULLS LAST) top-k and the driver folds the
+    ≤ num_blocks × k partial rows. Replaces sort+limit's all-to-all range
+    partition with one map_batches + a tiny driver merge — the global
+    answer is exact because a group's total count lives in exactly one
+    block after the groupby."""
+    import pyarrow.compute as pc
+
+    counts = grouped_counts(ds, keys, count_name=count_name,
+                            driver_merge=False)
+    sort_keys = [(count_name, "descending")] \
+        + [(kk, "ascending") for kk in keys]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys,
+                              null_placement="at_end")
+        return t.take(idx.slice(0, k))
+
+    parts = counts.map_batches(block_topk, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if count_name not in parts.columns:   # fully-empty: schema-less pandas
+        parts = pd.DataFrame(columns=[*keys, count_name])
+    return parts.sort_values([count_name, *keys],
+                             ascending=[False] + [True] * len(keys),
+                             na_position="last") \
+        .head(k).reset_index(drop=True)
+
+
 def sink_counts(ds: "ray.data.Dataset", route_col: str = "route",
                 by: Optional[Sequence[str]] = None) -> pd.DataFrame:
     """Per-sink aggregate counts (north_rule 'matching the reference's

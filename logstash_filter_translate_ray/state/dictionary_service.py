@@ -58,13 +58,15 @@ class DictionaryService:
                  refresh_behaviour: str = "merge",
                  yaml_code_point_limit: Optional[int] = None,
                  yaml_load_strategy: str = "one_shot",
-                 background_refresh: bool = True):
+                 background_refresh: bool = True,
+                 missing_file_ok: bool = False):
         if path is not None:
             self._backend: "FileDictionary | MemoryDictionary" = FileDictionary(
                 path, refresh_interval=refresh_interval,
                 refresh_behaviour=refresh_behaviour,
                 yaml_code_point_limit=yaml_code_point_limit,
-                yaml_load_strategy=yaml_load_strategy)
+                yaml_load_strategy=yaml_load_strategy,
+                missing_file_ok=missing_file_ok)
         else:
             self._backend = MemoryDictionary(mapping or {})
         self._refresh_interval = refresh_interval

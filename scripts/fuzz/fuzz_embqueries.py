@@ -81,6 +81,19 @@ def fuzz_emb_queries(vecs, dup_idx, zero_first):
     d = _mk_sfdir(full)
     try:
         _compare(d, QUERIES)
+        # r5: the IVF kNN join at FULL probe must equal the exact kernel
+        # bit-for-bit on any input (ties, zeros, negations, duplicates) —
+        # exactness is layout-independent, unlike the recall gate
+        import ray.data as rd
+        from logstash_filter_translate_ray.functions.similarity import (
+            knn_join, knn_join_ivf)
+        p = os.path.join(d, "embeddings.parquet")
+        exact = knn_join(rd.read_parquet(p, columns=["vec_id", "embedding"]),
+                         k=3)
+        fullp = knn_join_ivf(
+            rd.read_parquet(p, columns=["vec_id", "embedding"]),
+            k=3, n_cells=4, n_probe=4)
+        pd.testing.assert_frame_equal(fullp, exact)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -36,7 +36,7 @@ QUERIES = ["translate_exact", "translate_exact_nofallback",
            "parse_extract", "agg_value_by_type", "user_event_counts",
            "zscore_outliers", "quantiles", "event_paths",
            "events_pipeline", "filter_pushdown", "topk_users",
-           "agg_minmax", "tumbling_counts", "window_quantiles",
+           "tumbling_counts", "window_quantiles",
            "prev_event_gap", "session_counts", "distinct_types",
            "translate_file_dict", "translate_iterate_maps"]
 # full run is ~15 min; FUZZ_SLICE="i/n" checks the i-th of n query

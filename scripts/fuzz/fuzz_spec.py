@@ -107,8 +107,9 @@ def _mk_path(rows) -> str:
 @settings(max_examples=60, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=st.lists(row, min_size=1, max_size=16),
-       names=step_names, use_route=st.booleans(), agg=agg_choice)
-def fuzz_spec(rows, names, use_route, agg):
+       names=step_names, use_route=st.booleans(), agg=agg_choice,
+       use_post=st.booleans())
+def fuzz_spec(rows, names, use_route, agg, use_post):
     if isinstance(agg, tuple) and agg[0] == "label" \
             and "translate" not in names:
         names = names + ["translate"]
@@ -118,14 +119,31 @@ def fuzz_spec(rows, names, use_route, agg):
     cols = ["event_id", "user_id", "event_type", "value", "props"]
     derived = [f"{sql} AS {col}" for n in names
                if STEPS[n][1] for col, sql in [STEPS[n][1]]]
+    derived_names = [col for n in names
+                     if STEPS[n][1] for col, _ in [STEPS[n][1]]]
     preds = [STEPS[n][2] for n in names if STEPS[n][2]]
     if use_route or (isinstance(agg, tuple) and agg[0] == "route"):
         spec["route"] = {"routes": dict(ROUTES), "key": "event_type",
                          "default": "ops"}
         derived.append(f"{_route_case} AS route")
+        derived_names.append("route")
     sel = ", ".join(cols + derived)
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     sql = f"SELECT {sel} FROM read_parquet('{path}'){where}"
+    if use_post:
+        # r5 clauses: exact dedup (min-id per distinct props) then
+        # post_filters = keep + select (drop the dedup content column) —
+        # mirrored as a window QUALIFY + outer projection
+        spec["dedup"] = {"kind": "exact", "col": "props",
+                         "id_col": "event_id"}
+        keep_cols = [c for c in cols + derived_names if c != "props"]
+        spec["post_filters"] = [
+            {"keep": {"column": "event_id", "op": "<", "value": 12}},
+            {"select": {"columns": keep_cols}},
+        ]
+        sql = (f"SELECT {', '.join(keep_cols)} FROM ("
+               f"SELECT *, MIN(event_id) OVER (PARTITION BY props) AS _m "
+               f"FROM ({sql})) WHERE event_id = _m AND event_id < 12")
     if agg == "quantiles":
         spec["aggregate"] = {"kind": "quantiles", "key": "event_type",
                              "val": "value", "qs": [0.5, 0.95]}

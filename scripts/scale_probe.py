@@ -174,6 +174,26 @@ def main_embeddings(n_vecs: int) -> None:
     cos = np.einsum("ij,ij->i", m[planted], m[nb])
     knn_planted_ok = int((cos >= 0.98).sum())
 
+    # IVF-partitioned approximate kNN join (round-5): same output shape as
+    # the exact kernel, compute O(N²/n_cells × n_probe). Recall@1 is
+    # measured against the exact run's rank-1 neighbors; planted near-dups
+    # use the same cosine ≥ 0.98 signal as the exact kernel.
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join_ivf)
+    n_cells = max(16, int(n_vecs ** 0.5) // 2)      # ≈ √N/2 → ~220 at 200k
+    t0 = time.perf_counter()
+    ivf_ds = knn_join_ivf(read(), k=5, n_cells=n_cells, n_probe=16,
+                          cache_key=corpus + ":ivfknn", as_dataset=True)
+    itop1 = ivf_ds.filter(expr="nn_rank == 1").to_pandas()
+    t_ivfknn = time.perf_counter() - t0
+    it1 = itop1.sort_values("vec_id").set_index("vec_id")
+    common = t1.index.intersection(it1.index)
+    recall_at1 = float((t1.loc[common, "neighbor_id"].to_numpy()
+                        == it1.loc[common, "neighbor_id"].to_numpy()).mean())
+    inb = it1.loc[planted, "neighbor_id"].to_numpy()
+    icos = np.einsum("ij,ij->i", m[planted], m[inb])
+    ivfknn_planted_ok = int((icos >= 0.98).sum())
+
     print(json.dumps({
         "n_vecs": n_vecs, "planted_dups": n_dups,
         "lsh_neardup_sec": round(t_lsh, 2),
@@ -185,6 +205,10 @@ def main_embeddings(n_vecs: int) -> None:
         "knn_planted_top1_ok": knn_planted_ok,
         "knn_task_peak_mb": round(tbr * tbr * 8 / 1e6, 1),
         "knn_r3_design_task_mb": round(tbr * n_vecs * 8 / 1e6, 1),
+        "knn_join_ivf_sec": round(t_ivfknn, 2),
+        "knn_join_ivf_cells": n_cells,
+        "knn_join_ivf_recall_at1": round(recall_at1, 4),
+        "knn_join_ivf_planted_top1_ok": ivfknn_planted_ok,
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}))
     ray.shutdown()
 

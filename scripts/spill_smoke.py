@@ -1,0 +1,125 @@
+"""Multi-node-shaped smoke run (VERDICT r4 #6): drive the flagship
+transcripts DAG and the minhash near-dup pipeline through a DELIBERATELY
+small object store with tiny target block sizes, so Ray Data's streaming
+executor must pipeline blocks through backpressure (and spill when the
+store fills) — the exact mechanism a 100 TB run lives on — and assert the
+outputs stay ORACLE-EXACT. 128 GiB of RAM hides scale bugs; this doesn't.
+
+Usage: python scripts/spill_smoke.py [sf_dir]      (default sf0.01)
+Prints one JSON line: {"ok": bool, "spilled_mb": float, ...}.
+Owns its Ray session (small object_store_memory) — run standalone, never
+inside the shared pytest session.
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import ray
+    ray.init(address="local", num_cpus=16,
+             object_store_memory=100 * 1024 * 1024,      # 100 MB — tiny
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = 1 * 1024 * 1024          # 1 MB blocks
+    ctx.enable_progress_bars = False
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries, oracles = m.queries(), m.oracle_sql()
+    names = ["minhash_pairs", "dedup_exact", "tumbling_counts",
+             "knn_join_ivf", "event_paths"]
+    # the transcripts oracle SQL pins the sf0.01 /tmp cache by design
+    # (see q_transcripts_pipeline) — only comparable at that sf
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        names.insert(0, "transcripts_pipeline")
+    results = {}
+    ok = True
+    for name in names:
+        got = queries[name](sf_dir)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        cols = sorted(got.columns)
+        try:
+            g = got[cols].astype(str).sort_values(cols) \
+                .reset_index(drop=True)
+            w = want[cols].astype(str).sort_values(cols) \
+                .reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w)
+            results[name] = {"rows": len(g), "match": True}
+        except Exception as e:          # noqa: BLE001 — report, don't die
+            results[name] = {"rows": len(got), "match": False,
+                             "err": str(e)[:200]}
+            ok = False
+
+    # A deliberate SPILL driver: the operator queries above stream so well
+    # at sf that nothing spills even through a 100 MB store — which is the
+    # point of streaming execution, but leaves the spill path untested.
+    # Union 8 copies of the events table (≥ several hundred MB of blocks)
+    # and run the null-safe distributed groupby + a full sort: the
+    # all-to-all exchange must hold the whole dataset in the object store
+    # mid-shuffle, forcing spill-to-disk, and the counts must STILL be
+    # exactly 8 × the single-copy oracle.
+    import pyarrow as pa
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import (
+        grouped_counts, null_safe_sort)
+    one = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "event_type", "props"])
+    big = one.union(*[rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "props"]) for _ in range(7)])
+    counts = grouped_counts(big, ["user_id"], driver_merge=False)
+    got8 = null_safe_sort(counts, ["n", "user_id"],
+                          descending=[True, False]).to_pandas()
+    want8 = con.execute(
+        "SELECT user_id, 8 * COUNT(*) AS n FROM events GROUP BY user_id "
+        "ORDER BY n DESC, user_id NULLS LAST").df()
+    try:
+        pd.testing.assert_frame_equal(
+            got8.astype({"n": "int64"}).reset_index(drop=True),
+            want8.astype({"n": "int64"}).reset_index(drop=True),
+            check_dtype=False)
+        results["spill_groupby_sort_x8"] = {"rows": len(got8), "match": True}
+    except Exception as e:              # noqa: BLE001
+        results["spill_groupby_sort_x8"] = {"rows": len(got8),
+                                            "match": False,
+                                            "err": str(e)[:200]}
+        ok = False
+
+    # spill evidence from Ray's own memory summary ("Spilled N MiB")
+    spilled_mb = 0.0
+    try:
+        from ray._private.internal_api import memory_summary
+        summ = memory_summary(stats_only=True)
+        hit = re.search(r"Spilled (\d+) MiB", summ)
+        if hit:
+            spilled_mb = float(hit.group(1))
+    except Exception:       # noqa: BLE001 — private API may move
+        pass
+
+    print(json.dumps({"ok": ok, "sf_dir": sf_dir,
+                      "object_store_mb": 100, "block_mb": 1,
+                      "spilled_mb": spilled_mb, "queries": results}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,11 +22,13 @@ def test_begin_shard_rejects_live_foreign_tmp(tmp_path):
     """A tmp dir owned by a LIVE other process = two runs sharing one
     checkpoint root — must fail loudly, not rmtree the other's work."""
     store = CheckpointStore(str(tmp_path))
-    # PID 1 (init) is always alive and never us
+    # PID 1 (init) is always alive and never us (legacy pid-only suffix:
+    # no start time recorded, so the live-pid probe alone decides)
     foreign = store.shard_output_dir("00001") + ".1.tmp"
     os.makedirs(foreign)
-    with pytest.raises(RuntimeError, match="live process 1"):
+    with pytest.raises(RuntimeError, match="live process") as ei:
         store.begin_shard("00001")
+    assert foreign in str(ei.value)
     os.rmdir(foreign)
 
 

@@ -81,7 +81,7 @@ EVENT_QUERIES = [
     "translate_exact", "translate_exact_nofallback", "translate_regex",
     "route_counts", "matched_counts", "parse_extract", "agg_value_by_type",
     "user_event_counts", "zscore_outliers", "quantiles", "event_paths",
-    "events_pipeline", "filter_pushdown", "topk_users", "agg_minmax",
+    "events_pipeline", "filter_pushdown", "topk_users",
     "tumbling_counts", "window_quantiles", "prev_event_gap",
     "session_counts", "distinct_types", "translate_file_dict",
     "translate_iterate_maps"]

@@ -107,6 +107,254 @@ def test_checkpoint_tmp_ownership(tmp_path):
 
 
 # --------------------------------------------------------------------------
+# VERDICT r4 #2: IVF-partitioned distributed kNN join (the 100 TB path)
+# --------------------------------------------------------------------------
+
+def _emb_table(n, dim=16, seed=0, dups=()):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim).astype(np.float32)
+    for dst, src in dups:
+        m[dst] = m[src]
+    flat = pa.array(m.reshape(-1))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, dim)
+        .cast(pa.list_(pa.float32()))}), m
+
+
+def test_knn_join_ivf_full_probe_equals_exact(ray_session):
+    """n_probe == n_cells searches every cell — the approximate join must
+    then equal the exact kernel bit-for-bit (ranks, ties, order)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join, knn_join_ivf)
+    tbl, _ = _emb_table(600, dups=[(100, 200), (300, 400)])
+    ds = rd.from_arrow(tbl)
+    exact = knn_join(ds, k=4)
+    full = knn_join_ivf(rd.from_arrow(tbl), k=4, n_cells=8, n_probe=8)
+    pd.testing.assert_frame_equal(full, exact)
+
+
+def test_knn_join_ivf_recall_and_block_invariance(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join, knn_join_ivf)
+    tbl, _ = _emb_table(1200)
+    exact = knn_join(rd.from_arrow(tbl), k=5)
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].to_numpy()))
+    approx = knn_join_ivf(rd.from_arrow(tbl), k=5, n_cells=16, n_probe=4)
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].to_numpy()))
+    assert len(a & e) / len(e) >= 0.5          # the gate's asserted bound
+    # block-split invariance: same result from a 3-block layout
+    split = rd.from_arrow([tbl.slice(0, 137), tbl.slice(137, 500),
+                           tbl.slice(637)])
+    approx2 = knn_join_ivf(split, k=5, n_cells=16, n_probe=4)
+    pd.testing.assert_frame_equal(approx, approx2)
+    # raising n_probe can only widen each query's candidate set
+    wider = knn_join_ivf(rd.from_arrow(tbl), k=5, n_cells=16, n_probe=8)
+    w = set(map(tuple, wider[["vec_id", "neighbor_id"]].to_numpy()))
+    assert len(w & e) >= len(a & e)
+
+
+def test_knn_join_ivf_chunked_fold_matches_unchunked(ray_session):
+    """Tiny qchunk/mchunk force the running-fold path through many
+    chunk boundaries — results must not depend on chunking."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join_ivf)
+    tbl, _ = _emb_table(400, dups=[(10, 20), (30, 40), (50, 60)])
+    big = knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=4, n_probe=2)
+    tiny = knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=4, n_probe=2,
+                        qchunk=7, mchunk=11)
+    pd.testing.assert_frame_equal(big, tiny)
+
+
+def test_knn_join_ivf_edges(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join_ivf)
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    out = knn_join_ivf(rd.from_arrow(empty), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "nn_rank", "neighbor_id"]
+    assert knn_join_ivf(rd.from_arrow(empty), k=3,
+                        as_dataset=True).count() == 0
+    # single vector: no OTHER vectors -> zero rows, not a crash
+    one = pa.table({"vec_id": pa.array([7], type=pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]],
+                                          type=pa.list_(pa.float32()))})
+    assert len(knn_join_ivf(rd.from_arrow(one), k=3, n_cells=4)) == 0
+    # as_dataset streaming return matches the pandas return
+    tbl, _ = _emb_table(300)
+    pdf = knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8, n_probe=3)
+    dsr = knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8, n_probe=3,
+                       as_dataset=True).to_pandas() \
+        .sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf, dsr)
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #3: missing_file_ok — opt-in ENOENT parity with
+# dictionary/file.rb:54-58 (register with an empty dict, refresh later)
+# --------------------------------------------------------------------------
+
+def test_missing_file_ok(tmp_path):
+    from logstash_filter_translate_ray.config import TranslateConfig
+    from logstash_filter_translate_ray.dictionary import (FileDictionary,
+                                                          create_dictionary)
+    from logstash_filter_translate_ray.errors import DictionaryFileError
+    from logstash_filter_translate_ray.kernel import translate_table
+
+    missing = tmp_path / "nope.csv"
+    # default: first load of a missing file fails LOUDLY (S13 deviation)
+    with pytest.raises(DictionaryFileError, match="when loading dictionary"):
+        FileDictionary(str(missing), refresh_interval=-1)
+
+    # opt-in: registers with an EMPTY dictionary (reference rescue path)
+    d = FileDictionary(str(missing), refresh_interval=-1,
+                       missing_file_ok=True)
+    assert d.snapshot.map == {} and d.version == 1
+    # a reload while the file is still missing keeps the empty dict
+    assert d.reload(force=True) is False and d.version == 1
+
+    # translate through the empty dict: nothing matches, fallback applies
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary_path=str(missing), refresh_interval=-1,
+                          fallback="none", missing_file_ok=True)
+    backend = create_dictionary(cfg)
+    tbl = pa.table({"status": ["a", "b"]})
+    out = translate_table(tbl, cfg, backend.snapshot)
+    assert out["translation"].to_pylist() == ["none", "none"]
+
+    # the file appearing later is picked up by refresh (merge semantics)
+    missing.write_text("a,1\n")
+    assert d.reload(force=True) is True and d.version == 2
+    assert d.snapshot.map == {"a": "1"}
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #5: grouped-partial top-k (no full range-partition sort)
+# --------------------------------------------------------------------------
+
+def test_grouped_topk(ray_session):
+    import duckdb
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import grouped_topk
+
+    # ties at the k boundary + null keys + multi-block spread of one key
+    tbl = pa.table({"user_id": pa.array(
+        [1] * 5 + [2] * 5 + [None] * 5 + [3] * 3 + [4] * 3 + [5] * 1,
+        type=pa.int64())})
+    split = rd.from_arrow([tbl.slice(0, 7), tbl.slice(7, 8), tbl.slice(15)])
+    out = grouped_topk(split, ["user_id"], k=4)
+    want = duckdb.connect().execute(
+        "SELECT user_id, COUNT(*) AS n FROM tbl GROUP BY user_id "
+        "ORDER BY n DESC, user_id LIMIT 4").df()
+    assert out["n"].tolist() == want["n"].tolist()
+    # same groups in the same order; null sorts LAST within its n-tie
+    got_ids = [None if pd.isna(v) else int(v) for v in out["user_id"]]
+    want_ids = [None if pd.isna(v) else int(v) for v in want["user_id"]]
+    assert got_ids == want_ids == [1, 2, None, 3]
+
+    # k larger than the group count: all groups, still exact
+    allg = grouped_topk(rd.from_arrow(tbl), ["user_id"], k=100)
+    assert len(allg) == 6 and allg["n"].sum() == len(tbl)
+
+    # empty input: typed empty frame, no crash
+    empty = grouped_topk(rd.from_arrow(tbl.slice(0, 0)), ["user_id"], k=3)
+    assert len(empty) == 0 and list(empty.columns) == ["user_id", "n"]
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #6: multi-node-shaped smoke — tiny object store + 1 MB blocks
+# force the streaming executor through backpressure; outputs stay
+# oracle-exact. Subprocess: it needs its own (small) Ray session.
+# --------------------------------------------------------------------------
+
+def test_spill_pressure_smoke():
+    import json
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "spill_smoke.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True
+    assert all(q["match"] for q in out["queries"].values()), out
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #8: spec DSL covers the LLM-operator stages — the curation
+# flagship and the kNN joins are declarative now
+# --------------------------------------------------------------------------
+
+def test_spec_curation_flagship(ray_session):
+    """The whole curation flagship (quality → keep ≥0.5 → langid → keep en
+    → exact dedup → tokens → select) expressed as a SPEC must equal the
+    Python-API flagship query bit-for-bit."""
+    import __ray_entry__ as m
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+
+    sf = "/root/testdata/sf0.001"
+    spec = {
+        "input": {"path": os.path.join(sf, "documents.parquet"),
+                  "columns": ["doc_id", "text"]},
+        "filters": [
+            {"quality": {}},
+            {"keep": {"column": "quality_score", "op": ">=", "value": 0.5}},
+            {"langid": {}},
+            {"keep": {"column": "lang_pred", "op": "==", "value": "en"}},
+        ],
+        "dedup": {"kind": "exact"},
+        "post_filters": [
+            {"tokens": {}},
+            {"select": {"columns": ["doc_id", "quality_score", "lang_pred",
+                                    "n_tokens_ws", "n_tokens_bpe"]}},
+        ],
+    }
+    got = build_from_spec(spec).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = m.queries()["curation_pipeline"](sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_spec_knn_clause(ray_session):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import (
+        knn_join, knn_join_ivf)
+    from logstash_filter_translate_ray.pipelines.spec import (
+        build_from_spec, load_spec, run_spec)
+    from logstash_filter_translate_ray.errors import ConfigurationError
+
+    sf = "/root/testdata/sf0.001"
+    emb = os.path.join(sf, "embeddings.parquet")
+
+    def _via_spec(knn_opts):
+        return build_from_spec({"input": {"path": emb}, "knn": knn_opts}) \
+            .to_pandas().sort_values(["vec_id", "nn_rank"]) \
+            .reset_index(drop=True)
+
+    want = knn_join(rd.read_parquet(emb), k=3)
+    pd.testing.assert_frame_equal(_via_spec({"kind": "exact", "k": 3}), want)
+
+    want_ivf = knn_join_ivf(rd.read_parquet(emb), k=3, n_cells=8, n_probe=3)
+    pd.testing.assert_frame_equal(
+        _via_spec({"kind": "ivf", "k": 3, "n_cells": 8, "n_probe": 3}),
+        want_ivf)
+
+    with pytest.raises(ConfigurationError, match="knn.kind"):
+        _via_spec({"kind": "bogus"})
+    with pytest.raises(ConfigurationError, match="select requires"):
+        build_from_spec({"input": {"path": emb},
+                         "filters": [{"select": {}}]})
+
+
+# --------------------------------------------------------------------------
 # ADVICE r4 #3: _coerce_plain_scalar is thread-safe (thread-local
 # SafeConstructor — concurrent FileDictionary loads in one process)
 # --------------------------------------------------------------------------
