@@ -443,7 +443,8 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
                              "_member": pa.array([], type=pa.bool_()),
                              "_nvec": empty_vecs})
         c = ray.get(cent_ref)
-        m = _normalize(_batch_matrix(t, vec_col).astype(np.float64))
+        raw = _batch_matrix(t, vec_col)              # stored float32, exact
+        m = _normalize(raw.astype(np.float64))
         n, dim = m.shape
         # stable argsort ⇒ probe[0] == np.argmax ⇒ the member cell matches
         # ivf_topk's assignment rule exactly
@@ -452,8 +453,12 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
         member = np.zeros(n * np_eff, dtype=bool)
         member[::np_eff] = True
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        rep = np.ascontiguousarray(
-            np.repeat(m.astype(np.float32), np_eff, axis=0))
+        # ship the RAW float32 values (zero loss) and normalize in float64
+        # inside the cell — normalizing here and rounding back to float32
+        # would perturb scores ~1e-8 vs the exact kernel's math and could
+        # flip near-tied rankings (full-probe == exact would no longer be
+        # bit-for-bit)
+        rep = np.ascontiguousarray(np.repeat(raw, np_eff, axis=0))
         offs = pa.array(np.arange(0, (n * np_eff + 1) * dim, dim,
                                   dtype=np.int32))
         vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
@@ -479,7 +484,9 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
         cells = t["_cell"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         member = t["_member"].to_numpy(zero_copy_only=False)
-        m = _batch_matrix(t, "_nvec").astype(np.float64)  # pre-normalized
+        # raw float32 → float64 → normalize: the exact kernel's math,
+        # bit-for-bit (see the route() shipping comment)
+        m = _normalize(_batch_matrix(t, "_nvec").astype(np.float64))
         starts = np.nonzero(np.concatenate(
             ([True], cells[1:] != cells[:-1])))[0]
         ends = np.concatenate((starts[1:], [len(t)]))
