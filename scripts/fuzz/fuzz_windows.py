@@ -81,8 +81,46 @@ def fuzz_paths(rows):
     w = want.fillna({"user_id": "(null)"}).sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
+# r5 (ADVICE #1 class): int64 keys AT the float64 precision cliff (2^53,
+# 2^53±1) mixed with nulls — numpy-side adjacency would merge them; the
+# Arrow-side boundary must not
+BIGK = 9007199254740992          # 2^53
+int_row = st.tuples(
+    st.one_of(st.none(), st.sampled_from([1, 2, BIGK - 1, BIGK, BIGK + 1])),
+    st.one_of(st.none(), st.integers(0, 4_000)),
+    st.one_of(st.none(), st.sampled_from(["a", "b"])))
+
+
+def build_int(rows):
+    n = len(rows)
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_id": pa.array(np.arange(1, n + 1), type=pa.int64()),
+        "ts": pa.array([None if r[1] is None else r[1] * 1_000_000
+                        for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string())})
+
+
+@S
+@given(rows=st.lists(int_row, min_size=1, max_size=25))
+def fuzz_gaps_bigint_keys(rows):
+    tbl = build_int(rows)
+    got = prev_event_gap(rd.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect(); con.register("events", tbl)
+    want = con.execute(
+        "SELECT event_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS gap_us "
+        "FROM events").df()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["event_id", "gap_us"]],
+                                  w[["event_id", "gap_us"]],
+                                  check_dtype=False)
+
+
 if __name__ == "__main__":
     fuzz_sessions(); print("fuzz_sessions OK")
     fuzz_gaps(); print("fuzz_gaps OK")
     fuzz_paths(); print("fuzz_paths OK")
+    fuzz_gaps_bigint_keys(); print("fuzz_gaps_bigint_keys OK")
     ray.shutdown()
