@@ -397,7 +397,7 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
        *query* in all probed cells — so a (query, neighbor) pair can meet
        in exactly ONE cell (the neighbor's home) and the join emits no
        duplicate pairs by construction. Shuffle volume is
-       n_probe × (id + normalized float32 vector) per row.
+       n_probe × (id + raw float32 vector) per row.
     3. Hash-bucketed ``groupby(cell)`` (``num_groups`` group calls): per
        cell, exact chunked top-k of the cell's queries against the cell's
        members (:func:`_topk_against` — memory bounded at qchunk × mchunk
