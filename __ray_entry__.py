@@ -13,8 +13,8 @@ embedding_neardup_lsh — deterministic seeded planes make it ID-exact vs
 the exact-pairs SQL at sf0.01, P(miss per pair) ≈ 3e-4) included.
 r3's text_stats / sort_limit / union_counts were folded out to fit the
 cap: their operator coverage is held by quality_scores (the same
-punct/stopword RE2 counts feed quality_score), topk_users (ds.sort +
-limit) and weighted_mix (Dataset.union) respectively.
+punct/stopword RE2 counts feed quality_score), topk_users (grouped-
+partial top-k since r5) and weighted_mix (Dataset.union) respectively.
   translate:   exact★ exact_nofallback★ regex★ union★ iterate_values★
                iterate_maps★ file_dict★(actor pool)
   pipeline:    events_pipeline★ transcripts_pipeline★ curation_pipeline★

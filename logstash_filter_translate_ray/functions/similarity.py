@@ -420,7 +420,10 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
     from .dedup import _group_of
     from ..rayutil import anchor_empty_schema
 
-    sub = ds.select_columns([id_col, vec_col])
+    # materialize ONCE (mirrors knn_join): the lazy plan would otherwise
+    # re-execute the whole upstream chain three times — count(), the
+    # centroid-sample pass, and the route map_batches
+    sub = ds.select_columns([id_col, vec_col]).materialize()
     if sub.count() == 0:        # Ray's empty to_pandas loses the schema —
         empty = pd.DataFrame(   # short-circuit before the centroid sample
             {"vec_id": pd.Series([], dtype="int64"),

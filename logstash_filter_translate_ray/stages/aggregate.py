@@ -197,14 +197,25 @@ def grouped_topk(ds: "ray.data.Dataset", keys: Sequence[str], k: int = 10,
                               null_placement="at_end")
         return t.take(idx.slice(0, k))
 
-    parts = counts.map_batches(block_topk, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
-    if count_name not in parts.columns:   # fully-empty: schema-less pandas
-        parts = pd.DataFrame(columns=[*keys, count_name])
-    return parts.sort_values([count_name, *keys],
-                             ascending=[False] + [True] * len(keys),
-                             na_position="last") \
-        .head(k).reset_index(drop=True)
+    parts_ds = counts.map_batches(block_topk, batch_format="pyarrow",
+                                  batch_size=None)
+    # driver fold stays in ARROW: to_pandas() promotes a nullable int64
+    # key to float64, collapsing distinct keys >= 2^53 (the same cliff
+    # window._sorted_segments guards against) — the selection, tie-break
+    # and returned key values must all be exact int64
+    import ray as _ray
+    tables = [t for t in _ray.get(parts_ds.to_arrow_refs()) if len(t)]
+    if not tables:                        # fully-empty input
+        return pd.DataFrame(columns=[*keys, count_name])
+    merged = pa.concat_tables(tables)
+    idx = pc.sort_indices(merged, sort_keys=sort_keys,
+                          null_placement="at_end")
+    top = merged.take(idx.slice(0, k))
+    # plain to_pandas on the final k rows: if a null key made the top-k,
+    # the int64 key renders float64 — EXACTLY like the DuckDB oracle's
+    # .df(), which the driver value-hashes against (representation-
+    # sensitive); the fold above already made selection/tie-break exact
+    return top.to_pandas().reset_index(drop=True)
 
 
 def sink_counts(ds: "ray.data.Dataset", route_col: str = "route",

@@ -175,6 +175,7 @@ def translate_dataset(ds: "ray.data.Dataset", cfg: TranslateConfig, *,
             refresh_behaviour=cfg.refresh_behaviour,
             yaml_code_point_limit=cfg.yaml_dictionary_code_point_limit,
             yaml_load_strategy=cfg.yaml_load_strategy,
+            missing_file_ok=cfg.missing_file_ok,
         )
         # the default name folds the FULL refresh config in: get-or-create
         # with get_if_exists silently ignores kwargs when the name already

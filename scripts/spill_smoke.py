@@ -16,7 +16,9 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts", "fuzz"))
 
 
 def main() -> int:
@@ -32,7 +34,6 @@ def main() -> int:
     ctx.enable_progress_bars = False
 
     import duckdb
-    import pandas as pd
 
     import __ray_entry__ as m
 
@@ -50,21 +51,17 @@ def main() -> int:
         names.insert(0, "transcripts_pipeline")
     results = {}
     ok = True
+    # ONE canon (CLAUDE.md): the -0.0 fold, null rendering and the
+    # empty-Dataset schema() path all live in fuzz_common.compare_result
+    from fuzz_common import compare_result
     for name in names:
         got = queries[name](sf_dir)
-        if hasattr(got, "to_pandas"):
-            got = got.to_pandas()
         want = con.execute(oracles[name]).df()
-        cols = sorted(got.columns)
         try:
-            g = got[cols].astype(str).sort_values(cols) \
-                .reset_index(drop=True)
-            w = want[cols].astype(str).sort_values(cols) \
-                .reset_index(drop=True)
-            pd.testing.assert_frame_equal(g, w)
-            results[name] = {"rows": len(g), "match": True}
+            compare_result(name, got, want)
+            results[name] = {"rows": len(want), "match": True}
         except Exception as e:          # noqa: BLE001 — report, don't die
-            results[name] = {"rows": len(got), "match": False,
+            results[name] = {"rows": len(want), "match": False,
                              "err": str(e)[:200]}
             ok = False
 
@@ -101,10 +98,7 @@ def main() -> int:
         "SELECT user_id, 64 * COUNT(*) AS n FROM events GROUP BY user_id "
         "ORDER BY n DESC, user_id NULLS LAST").df()
     try:
-        pd.testing.assert_frame_equal(
-            got8.astype({"n": "int64"}).reset_index(drop=True),
-            want8.astype({"n": "int64"}).reset_index(drop=True),
-            check_dtype=False)
+        compare_result("spill_materialize_x64", got8, want8)
         results["spill_materialize_x64"] = {"rows": len(got8), "match": True}
     except Exception as e:              # noqa: BLE001
         results["spill_materialize_x64"] = {"rows": len(got8),

@@ -233,6 +233,35 @@ def test_missing_file_ok(tmp_path):
     assert d.snapshot.map == {"a": "1"}
 
 
+def test_missing_file_ok_translate_dataset(ray_session, tmp_path):
+    """The flag must flow through the PRODUCTION path (translate_dataset →
+    DictionaryService actor), not just direct FileDictionary construction
+    (round-5 review: service_kwargs silently dropped it)."""
+    import ray
+    import ray.data as rd
+    from logstash_filter_translate_ray.config import TranslateConfig
+    from logstash_filter_translate_ray.stages.translate_stage import (
+        translate_dataset)
+
+    missing = tmp_path / "gone.csv"
+    ds = rd.from_arrow(pa.table({"status": ["a", "b"]}))
+
+    # default: loud failure at pipeline BUILD time (actor first-load)
+    cfg_loud = TranslateConfig(source="status", target="translation",
+                               dictionary_path=str(missing),
+                               refresh_interval=-1, fallback="nf")
+    with pytest.raises(Exception, match="when loading dictionary"):
+        translate_dataset(ds, cfg_loud)
+
+    # opt-in: the service registers with an empty dict; fallback applies
+    cfg = TranslateConfig(source="status", target="translation",
+                          dictionary_path=str(missing),
+                          refresh_interval=-1, fallback="nf",
+                          missing_file_ok=True)
+    out = translate_dataset(ds, cfg).to_pandas()
+    assert out["translation"].tolist() == ["nf", "nf"]
+
+
 # --------------------------------------------------------------------------
 # VERDICT r4 #5: grouped-partial top-k (no full range-partition sort)
 # --------------------------------------------------------------------------
@@ -264,6 +293,33 @@ def test_grouped_topk(ray_session):
     # empty input: typed empty frame, no crash
     empty = grouped_topk(rd.from_arrow(tbl.slice(0, 0)), ["user_id"], k=3)
     assert len(empty) == 0 and list(empty.columns) == ["user_id", "n"]
+
+
+def test_grouped_topk_large_int_keys_with_nulls(ray_session):
+    """Driver fold must stay in Arrow: a pandas fold promotes a nullable
+    int64 key to float64, collapsing distinct keys >= 2^53 and corrupting
+    the returned key values (round-5 review finding)."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.stages.aggregate import grouped_topk
+
+    k1 = 9007199254740992          # 2^53
+    k2 = 9007199254740993          # 2^53 + 1: equal in float64
+    tbl = pa.table({"user_id": pa.array(
+        [k1, k1, k2, k2, None, 7], type=pa.int64())})
+    split = rd.from_arrow([tbl.slice(0, 3), tbl.slice(3)])
+    out = grouped_topk(split, ["user_id"], k=3)
+    # count-tied at n=2: exact int64 ascending tie-break, k1 before k2,
+    # and BOTH survive as distinct groups with exact values; at the n=1
+    # tie, 7 beats the null group (NULLS LAST). No null in the top-3 ⇒
+    # the returned column stays int64 with exact values.
+    assert out["user_id"].dtype == np.int64
+    assert out["user_id"].tolist() == [k1, k2, 7]
+    assert out["n"].tolist() == [2, 2, 1]
+    # k=4 pulls the null group in: selection order stays exact (the fold
+    # is Arrow-side); rendering goes float64, matching DuckDB's .df()
+    out4 = grouped_topk(split, ["user_id"], k=4)
+    assert out4["n"].tolist() == [2, 2, 1, 1]
+    assert pd.isna(out4["user_id"].iloc[3])
 
 
 # --------------------------------------------------------------------------
