@@ -18,6 +18,13 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+# knn_join_ivf.route() replicates each vector n_probe-fold; it emits the
+# replicas in chunks of at most this many flat float32 list elements
+# (8M ≈ 32 MB) so the transient copy is bounded and the int32 list
+# offsets stay far below 2^31 for ANY input block size. Module-level so
+# tests can shrink it to force multi-chunk routing on small data.
+_ROUTE_CHUNK_ELEMS = 8_000_000
+
 
 def _batch_matrix(tbl: pa.Table, vec_col: str) -> np.ndarray:
     if len(tbl) == 0:
@@ -379,7 +386,7 @@ def _topk_against(q_ids: np.ndarray, q_m: np.ndarray, m_ids: np.ndarray,
 
 def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
                  seed: int = 42, vec_col: str = "embedding",
-                 id_col: str = "vec_id", num_groups: int = 64,
+                 id_col: str = "vec_id", num_groups: "Optional[int]" = None,
                  sample_n: int = 2048, cache_key: Optional[str] = None,
                  qchunk: int = 4096, mchunk: int = 8192,
                  as_dataset: bool = False):
@@ -398,10 +405,16 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
        in exactly ONE cell (the neighbor's home) and the join emits no
        duplicate pairs by construction. Shuffle volume is
        n_probe × (id + raw float32 vector) per row.
-    3. Hash-bucketed ``groupby(cell)`` (``num_groups`` group calls): per
-       cell, exact chunked top-k of the cell's queries against the cell's
-       members (:func:`_topk_against` — memory bounded at qchunk × mchunk
-       per task regardless of cell size).
+    3. Hash-bucketed ``groupby(cell)`` (``num_groups`` group calls —
+       defaults to a SIZE-BASED value so one map_groups task holds ~200k
+       routed rows rather than a fixed 1/64 of the dataset): per cell,
+       exact chunked top-k of the cell's queries against the cell's
+       members (:func:`_topk_against` — the score matrix is bounded at
+       qchunk × mchunk per task). Residual memory risk: a single cell is
+       atomic (its members can't be split without breaking within-cell
+       exactness), so one HOT cell larger than the group target still
+       lands in one task — pick n_cells ≈ √N so expected cell size ≈ √N,
+       and raise n_cells if k-means leaves a mega-cell.
     4. Hash-bucketed ``groupby(vec_id)`` merge: each query's ≤ n_probe × k
        candidates fold to the global top-k with the canonical
        (1e-12-quantized score DESC, id ASC) rule, ranks assigned 1..k.
@@ -424,7 +437,8 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
     # re-execute the whole upstream chain three times — count(), the
     # centroid-sample pass, and the route map_batches
     sub = ds.select_columns([id_col, vec_col]).materialize()
-    if sub.count() == 0:        # Ray's empty to_pandas loses the schema —
+    n_total = sub.count()
+    if n_total == 0:            # Ray's empty to_pandas loses the schema —
         empty = pd.DataFrame(   # short-circuit before the centroid sample
             {"vec_id": pd.Series([], dtype="int64"),
              "nn_rank": pd.Series([], dtype="int64"),
@@ -435,6 +449,14 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
                                cache_key=cache_key)
     cent_ref = ray.put(cent)
     np_eff = min(n_probe, len(cent))
+    if num_groups is None:
+        # size-based: one cell-bucket map_groups task holds ~200k routed
+        # rows (≈ 200k × dim × 12 B after the float64 normalize) instead
+        # of a fixed 1/64 of N·n_probe, which grows linearly with N.
+        # Result-invariant: per_cell_group/merge_group work per cell /
+        # per query WITHIN a bucket, so bucketing only sizes tasks.
+        num_groups = max(64, -(-(n_total * np_eff) // 200_000))
+    chunk_elems = _ROUTE_CHUNK_ELEMS   # snapshot into the route closure
 
     def route(t: pa.Table) -> pa.Table:
         empty_vecs = pa.ListArray.from_arrays(
@@ -451,25 +473,36 @@ def knn_join_ivf(ds, k: int = 3, n_cells: int = 16, n_probe: int = 4,
         n, dim = m.shape
         # stable argsort ⇒ probe[0] == np.argmax ⇒ the member cell matches
         # ivf_topk's assignment rule exactly
-        order = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :np_eff]
-        cells = order.reshape(-1).astype(np.int32)
-        member = np.zeros(n * np_eff, dtype=bool)
-        member[::np_eff] = True
+        order = (np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :np_eff]
+                 .astype(np.int32))
         ids = t[id_col].to_numpy(zero_copy_only=False)
         # ship the RAW float32 values (zero loss) and normalize in float64
         # inside the cell — normalizing here and rounding back to float32
         # would perturb scores ~1e-8 vs the exact kernel's math and could
         # flip near-tied rankings (full-probe == exact would no longer be
-        # bit-for-bit)
-        rep = np.ascontiguousarray(np.repeat(raw, np_eff, axis=0))
-        offs = pa.array(np.arange(0, (n * np_eff + 1) * dim, dim,
-                                  dtype=np.int32))
-        vecs = pa.ListArray.from_arrays(offs, pa.array(rep.reshape(-1)))
-        return pa.table({id_col: pa.array(np.repeat(ids, np_eff),
-                                          type=pa.int64()),
-                         "_cell": pa.array(cells),
-                         "_member": pa.array(member),
-                         "_nvec": vecs})
+        # bit-for-bit). Replicate in CHUNKS: the n_probe-fold np.repeat on
+        # a whole block would hold np_eff copies of it transiently AND its
+        # int32 list offsets overflow past 2^31 flat elements (review r5)
+        rows_per = max(1, chunk_elems // (np_eff * dim))
+        parts = []
+        for s0 in range(0, n, rows_per):
+            e0 = min(n, s0 + rows_per)
+            nn = e0 - s0
+            member = np.zeros(nn * np_eff, dtype=bool)
+            member[::np_eff] = True
+            rep = np.ascontiguousarray(np.repeat(raw[s0:e0], np_eff,
+                                                 axis=0))
+            offs = pa.array(np.arange(0, (nn * np_eff + 1) * dim, dim,
+                                      dtype=np.int32))
+            vecs = pa.ListArray.from_arrays(offs,
+                                            pa.array(rep.reshape(-1)))
+            parts.append(pa.table(
+                {id_col: pa.array(np.repeat(ids[s0:e0], np_eff),
+                                  type=pa.int64()),
+                 "_cell": pa.array(order[s0:e0].reshape(-1)),
+                 "_member": pa.array(member),
+                 "_nvec": vecs}))
+        return pa.concat_tables(parts)
 
     def add_gb(t: pa.Table) -> pa.Table:
         cells = t["_cell"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -298,10 +298,17 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
     return _apply_post_clauses(ds, s)
 
 
+# every clause _apply_post_clauses handles; run_spec_resumable keys its
+# "does this spec have a global phase?" decision off this SAME tuple so a
+# new post clause can never be silently dropped on the resumable path
+# (review r5: a knn- or post_filters-only spec wrote raw shard rows)
+POST_CLAUSE_KEYS = ("dedup", "post_filters", "knn", "window", "aggregate")
+
+
 def _apply_post_clauses(ds, s: dict):
-    """The GLOBAL (cross-shard) clauses: dedup → window → aggregate. Split
-    out so :func:`run_spec_resumable` can run them over the completed
-    shard outputs rather than per shard."""
+    """The GLOBAL (cross-shard) clauses: dedup → post_filters → knn →
+    window → aggregate. Split out so :func:`run_spec_resumable` can run
+    them over the completed shard outputs rather than per shard."""
     if "dedup" in s:
         d = dict(s["dedup"])
         kind = d.pop("kind", "exact")
@@ -490,8 +497,7 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
                      for root, _, fs in os.walk(m.output_dir)
                      for f in sorted(fs) if f.endswith(".parquet")]
     result = None
-    if any(k in s for k in ("dedup", "window", "aggregate")) \
-            and shard_parquet:
+    if any(k in s for k in POST_CLAUSE_KEYS) and shard_parquet:
         result = _apply_post_clauses(rd.read_parquet(shard_parquet), s)
     out_info = {}
     if s.get("output", {}).get("path"):

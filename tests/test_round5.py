@@ -439,3 +439,76 @@ def test_scalar_coercion_thread_safety():
     assert _coerce_plain_scalar("1e3") == "1e3"
     # YAML 1.1 floats need a SIGNED exponent — '1.5e3' stays a string
     assert _coerce_plain_scalar("1.5e+3") == 1500.0
+
+
+# --------------------------------------------------------------------------
+# Review r5 sweep-2: (1) run_spec_resumable must apply EVERY post clause
+# (a knn- or post_filters-only spec silently wrote raw shard rows);
+# (2) knn_join_ivf.route() replicates in bounded chunks (int32 offset
+# overflow + n_probe-fold transient on big blocks) — chunking must be
+# result-invariant.
+# --------------------------------------------------------------------------
+
+def test_spec_resumable_knn_only_post_clause(ray_session, tmp_path):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+    from logstash_filter_translate_ray.pipelines.spec import (
+        POST_CLAUSE_KEYS, _apply_post_clauses, run_spec_resumable)
+
+    # the trigger tuple and the clause applier can never drift apart again
+    import inspect
+    applier_src = inspect.getsource(_apply_post_clauses)
+    for key in POST_CLAUSE_KEYS:
+        assert f'"{key}" in s' in applier_src
+
+    sf = "/root/testdata/sf0.001"
+    emb = os.path.join(sf, "embeddings.parquet")
+    sink = str(tmp_path / "knn_sink")
+    spec = {"input": {"path": emb},
+            "knn": {"kind": "exact", "k": 3},
+            "output": {"path": sink}}
+    res = run_spec_resumable(spec, str(tmp_path / "ckpt"), shard_files=1)
+    assert res["result"] is not None
+    got = rd.read_parquet(sink).to_pandas() \
+        .sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+    want = knn_join(rd.read_parquet(emb), k=3)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_spec_resumable_post_filters_only(ray_session, tmp_path):
+    import ray.data as rd
+    from logstash_filter_translate_ray.pipelines.spec import (
+        run_spec_resumable)
+
+    sf = "/root/testdata/sf0.001"
+    docs = os.path.join(sf, "documents.parquet")
+    sink = str(tmp_path / "pf_sink")
+    spec = {"input": {"path": docs, "columns": ["doc_id", "text"]},
+            "post_filters": [{"tokens": {}},
+                             {"select": {"columns": ["doc_id",
+                                                     "n_tokens_ws"]}}],
+            "output": {"path": sink}}
+    run_spec_resumable(spec, str(tmp_path / "ckpt"), shard_files=1)
+    got = rd.read_parquet(sink).to_pandas()
+    # the select post clause must have been applied, not skipped
+    assert sorted(got.columns) == ["doc_id", "n_tokens_ws"]
+    assert len(got) == rd.read_parquet(docs).count()
+
+
+def test_knn_join_ivf_route_chunk_invariance(ray_session, monkeypatch):
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions import similarity as sim
+
+    tbl, _ = _emb_table(500, dups=[(10, 20), (30, 40)])
+    whole = sim.knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8, n_probe=3)
+    # dim=16, np_eff=3 → rows_per = max(1, 96 // 48) = 2: every block
+    # routes through ~250 replica chunks
+    monkeypatch.setattr(sim, "_ROUTE_CHUNK_ELEMS", 96)
+    chunked = sim.knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8,
+                               n_probe=3)
+    pd.testing.assert_frame_equal(chunked, whole)
+    # size-based num_groups default: small N floors at 64 and the
+    # explicit override still works
+    explicit = sim.knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8,
+                                n_probe=3, num_groups=7)
+    pd.testing.assert_frame_equal(explicit, whole)
