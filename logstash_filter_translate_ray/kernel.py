@@ -70,6 +70,36 @@ def ruby_to_s(value: Any) -> str:
     return str(value)
 
 
+def _roundtrip_exact(orig: Any, back: Any) -> bool:
+    """True iff Arrow's Python round-trip preserved every value's category
+    and content. Categories: None / bool / numeric (int & float compare by
+    value, NaN ⇔ NaN) / str / bytes / list / dict; anything else compares
+    by ``==`` (datetimes). A struct-unified dict may gain absent fields as
+    null children — equal under the engine's null ⇔ absent convention."""
+    if orig is None:
+        return back is None
+    if isinstance(orig, bool) or isinstance(back, bool):
+        return isinstance(orig, bool) and isinstance(back, bool) and orig == back
+    if isinstance(orig, (int, float)):
+        if not isinstance(back, (int, float)):
+            return False
+        return orig == back or (orig != orig and back != back)
+    if isinstance(orig, str):
+        return isinstance(back, str) and orig == back
+    if isinstance(orig, bytes):
+        return isinstance(back, bytes) and orig == back
+    if isinstance(orig, list):
+        return (isinstance(back, list) and len(orig) == len(back)
+                and all(_roundtrip_exact(o, b) for o, b in zip(orig, back)))
+    if isinstance(orig, dict):
+        if not isinstance(back, dict):
+            return False
+        if any(not _roundtrip_exact(v, back.get(k)) for k, v in orig.items()):
+            return False
+        return all(back[k] is None for k in back.keys() - orig.keys())
+    return orig == back
+
+
 # --------------------------------------------------------------------------
 # Dictionary snapshot (compiled once, reused across batches / pulled by actors)
 # --------------------------------------------------------------------------
@@ -114,14 +144,27 @@ class DictSnapshot:
 
     @property
     def value_array(self) -> Optional[pa.Array]:
-        """Arrow array of values when they unify to one non-null type, else None."""
+        """Arrow array of values when they unify to one non-null type, else None.
+
+        ``pa.array()`` alone cannot decide unification: its Python→Arrow
+        coercion is insertion-order-dependent and silently value-corrupting
+        for some mixes (``[0.0, False]`` → double ``[0.0, 0.0]`` while the
+        reversed order raises; ``['x', b'y']`` → binary; the same one level
+        down inside lists and structs), and >int64 ints raise OverflowError
+        rather than an Arrow error. The built array is round-tripped back to
+        Python and compared with category-exact equality — any drift falls
+        back to the stringify (non-unify) path, which ``_materialize_values``
+        already handles for every value shape.
+        """
         if not self._value_arr_tried:
             self._value_arr_tried = True
             try:
                 arr = pa.array(self.values)
-                if not pa.types.is_null(arr.type):
+                if not pa.types.is_null(arr.type) and _roundtrip_exact(
+                        list(self.values), arr.to_pylist()):
                     self._value_arr = arr
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError, OverflowError):
                 self._value_arr = None
         return self._value_arr
 

@@ -295,7 +295,7 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
         from ..rayutil import anchor_empty_schema
         ds = anchor_empty_schema(ds, probe.schema)
 
-    return _apply_post_clauses(ds, s)
+    return _apply_post_clauses(ds, s, probe)
 
 
 # every clause _apply_post_clauses handles; run_spec_resumable keys its
@@ -305,10 +305,16 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
 POST_CLAUSE_KEYS = ("dedup", "post_filters", "knn", "window", "aggregate")
 
 
-def _apply_post_clauses(ds, s: dict):
+def _apply_post_clauses(ds, s: dict, probe=None):
     """The GLOBAL (cross-shard) clauses: dedup → post_filters → knn →
     window → aggregate. Split out so :func:`run_spec_resumable` can run
-    them over the completed shard outputs rather than per shard."""
+    them over the completed shard outputs rather than per shard.
+
+    ``probe`` is the 0-row schema table advanced through the row-local
+    steps (still valid here: every dedup kind keeps the input's columns).
+    post_filters advance it and RE-ANCHOR — without this, a keep/select
+    post step over an all-empty dataset lost the column list the
+    build_from_spec anchor had restored (found by the spec fuzz)."""
     if "dedup" in s:
         d = dict(s["dedup"])
         kind = d.pop("kind", "exact")
@@ -333,7 +339,10 @@ def _apply_post_clauses(ds, s: dict):
     if "post_filters" in s:
         # row-local stages that must see only the dedup SURVIVORS (the
         # curation flagship's token counting runs here)
-        ds, _ = _apply_filters(ds, s["post_filters"])
+        ds, probe = _apply_filters(ds, s["post_filters"], probe)
+        if probe is not None:
+            from ..rayutil import anchor_empty_schema
+            ds = anchor_empty_schema(ds, probe.schema)
 
     if "knn" in s:
         kn = dict(s["knn"])
@@ -498,7 +507,13 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
                      for f in sorted(fs) if f.endswith(".parquet")]
     result = None
     if any(k in s for k in POST_CLAUSE_KEYS) and shard_parquet:
-        result = _apply_post_clauses(rd.read_parquet(shard_parquet), s)
+        try:                             # metadata-only, no data read
+            import pyarrow.dataset as pads
+            probe = pads.dataset(shard_parquet).schema.empty_table()
+        except Exception:
+            probe = None
+        result = _apply_post_clauses(rd.read_parquet(shard_parquet), s,
+                                     probe)
     out_info = {}
     if s.get("output", {}).get("path"):
         # the spec's own sink: write the POST-CLAUSE result (or the routed

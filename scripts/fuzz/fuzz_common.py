@@ -5,18 +5,31 @@ import numpy as np
 import pandas as pd
 
 
+def _render(v) -> str:
+    """One rendering per VALUE, independent of the dtype that carried it:
+    a null-bearing int64 aggregate rides as float64 (NaN) on the DuckDB
+    side but as object ints on a driver-merge pandas side — 100000000
+    and 100000000.0 must print the same. Integral floats inside the
+    exact-int range render as ints; bool stays bool (True, not 1)."""
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        v = v + 0.0                      # fold -0.0 into 0.0
+        if v == v and float(v).is_integer() and abs(v) < 2.0 ** 53:
+            return str(int(v))
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """The harnesses' value-parity form: columns sorted by name, every
-    value stringified, with two renderings unified first — float -0.0 ==
-    0.0 (both print '0.0' only after the +0.0 fold), and None/NaN/NaT all
-    as '<null>' (pandas renders the same absent value differently
-    depending on which side's dtype carried the null)."""
+    value stringified via ``_render`` (float -0.0 == 0.0, integral floats
+    == ints), and None/NaN/NaT all as '<null>' (pandas renders the same
+    absent value differently depending on which side's dtype carried
+    the null)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == np.float64:
-            df[c] = df[c] + 0.0
         nulls = pd.isna(df[c])
-        df[c] = df[c].astype(str)
+        df[c] = df[c].map(_render)
         df.loc[nulls, c] = "<null>"
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 

@@ -43,7 +43,17 @@ def run_both(cfg, rows, dictionary=None):
         v is not None and not isinstance(v, str) for v in (d or {}).values())
     for kr, orr in zip(out_rows, oracle_rows):
         for key, val in orr.items():
-            assert _norm(kr.get(key), unify) == _norm(val, unify), \
+            kv = kr.get(key)
+            if unify and isinstance(val, (list, dict)) and isinstance(kv, str):
+                # Single-value stringify path with a CONTAINER dict value
+                # (values that don't unify): the kernel renders the whole
+                # container Logstash-style into the string column, the
+                # oracle writes the raw Ruby object — compare through the
+                # same renderer the kernel uses.
+                from logstash_filter_translate_ray.sprintf import _to_s
+                assert kv == _to_s(val), (key, kr, orr)
+                continue
+            assert _norm(kv, unify) == _norm(val, unify), \
                 (key, kr, orr)
     return out_rows
 

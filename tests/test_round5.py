@@ -512,3 +512,82 @@ def test_knn_join_ivf_route_chunk_invariance(ray_session, monkeypatch):
     explicit = sim.knn_join_ivf(rd.from_arrow(tbl), k=3, n_cells=8,
                                 n_probe=3, num_groups=7)
     pd.testing.assert_frame_equal(explicit, whole)
+
+
+def test_value_array_rejects_silent_arrow_coercions():
+    """pa.array()'s Python→Arrow coercion is insertion-order-dependent and
+    silently value-corrupting for some mixes ([0.0, False] → double
+    [0.0, 0.0], while the reversed order raises) — found by the fuzz_hard
+    differential. Such dictionaries must take the stringify (non-unify)
+    path, and >int64 values must not crash the probe (OverflowError)."""
+    from logstash_filter_translate_ray import DictSnapshot
+
+    # value-corrupting mixes → non-unify
+    assert DictSnapshot({"0": 0.0, "1": False}).value_array is None
+    assert DictSnapshot({"a": [0.0], "b": [False]}).value_array is None
+    assert DictSnapshot({"a": {"x": 0.0}, "b": {"x": False}}).value_array is None
+    assert DictSnapshot({"a": "x", "b": b"y"}).value_array is None
+    # >int64 int raised OverflowError (uncaught) pre-fix
+    assert DictSnapshot({"a": 2 ** 70, "b": 1}).value_array is None
+    # homogeneous / value-preserving dictionaries still unify (fast path)
+    assert DictSnapshot({"a": 1, "b": 2}).value_array is not None
+    assert DictSnapshot({"a": 1, "b": 2.5}).value_array is not None
+    assert DictSnapshot({"a": [1, 2], "b": [3]}).value_array is not None
+    assert DictSnapshot({"a": True, "b": False}).value_array is not None
+
+
+def test_translate_bool_float_dict_values_exact():
+    """The fuzz_hard falsifying example: dict {'0': 0.0, '1': False} with
+    a fallback returned '0.0' for key '1' (False coerced to 0.0 inside the
+    unified value array). Both kernel and row oracle must agree on the
+    stringified values."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_kernel import run_both
+
+    from logstash_filter_translate_ray import TranslateConfig
+
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"0": 0.0, "1": False}, fallback="fb")
+    out = run_both(cfg, [{"s": "1"}, {"s": "0"}, {"s": "zz"}])
+    assert [r["t"] for r in out] == ["false", "0.0", "fb"]
+    # huge-int dict value: stringify path, no crash
+    cfg2 = TranslateConfig(source="s", target="t",
+                           dictionary={"a": 2 ** 70, "b": 1})
+    out2 = run_both(cfg2, [{"s": "a"}, {"s": "b"}])
+    assert [r["t"] for r in out2] == [str(2 ** 70), "1"]
+
+
+def test_spec_post_filters_keep_schema_on_empty(ray_session, tmp_path):
+    """A keep/select post_filter over an all-empty dataset must re-anchor
+    the statically-derived schema (found by the spec fuzz: dedup +
+    post_filters + distributed counts returned schema() None)."""
+    import pyarrow.parquet as pq
+
+    from logstash_filter_translate_ray.pipelines.spec import build_from_spec
+
+    tbl = pa.table({
+        "event_id": pa.array([2], type=pa.int64()),
+        "user_id": pa.array([None], type=pa.int64()),
+        "event_type": pa.array(["view"], type=pa.string()),
+        "props": pa.array([None], type=pa.string()),
+    })
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+    spec = {"input": {"path": path},
+            "filters": [{"keep": {"column": "event_type", "op": "in",
+                                  "value": ["click"]}}],
+            "dedup": {"kind": "exact", "col": "props",
+                      "id_col": "event_id"},
+            "post_filters": [
+                {"keep": {"column": "event_id", "op": "<", "value": 12}},
+                {"select": {"columns": ["event_id", "user_id"]}},
+            ]}
+    ds = build_from_spec(spec)
+    sch = ds.schema()
+    assert sch is not None and sch.names == ["event_id", "user_id"]
+    spec["aggregate"] = {"kind": "counts", "group_by": ["user_id"],
+                         "driver_merge": False}
+    agg = build_from_spec(spec)
+    sch2 = agg.schema()
+    assert sch2 is not None and sch2.names == ["user_id", "n"]
