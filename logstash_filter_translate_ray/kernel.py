@@ -67,6 +67,10 @@ def ruby_to_s(value: Any) -> str:
         return "true" if value else "false"
     if isinstance(value, float) and value.is_integer():
         return f"{value:.1f}"
+    if isinstance(value, bytes):
+        # same rule as sprintf._to_s / _cast_to_string's binary branch:
+        # utf-8 with U+FFFD replacement
+        return value.decode("utf-8", "replace")
     return str(value)
 
 

@@ -65,6 +65,11 @@ def _to_s(value: Any) -> str:
         return "true" if value else "false"
     if isinstance(value, float) and value.is_integer():
         return f"{value:.1f}"  # Ruby 2.0.to_s == "2.0"
+    if isinstance(value, bytes):
+        # Ruby byte strings pass through to_s unchanged; the columnar
+        # convention decodes utf-8 with U+FFFD replacement (same rule as
+        # _cast_to_string's binary branch — the two sides must agree)
+        return value.decode("utf-8", "replace")
     if isinstance(value, (list, tuple)):
         return ",".join(_to_s(v) for v in value)
     if isinstance(value, dict):
@@ -178,6 +183,25 @@ def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arr
         s = pc.cast(col, pa.string())
         return pc.replace_substring_regex(s, pattern=r"\.000000$",
                                           replacement="")
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type) \
+            or pa.types.is_fixed_size_binary(col.type):
+        # bytes stringify as utf-8 with U+FFFD replacement (Ruby byte
+        # strings pass through to_s unchanged; Arrow's binary→string cast
+        # REJECTS invalid utf-8, which crashed the fallback-unify branch
+        # on a non-utf8 bytes dictionary value). Python-decode once per
+        # UNIQUE value, then scatter back.
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        try:
+            enc = col.dictionary_encode()
+            uniq = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in enc.dictionary.to_pylist()], type=pa.string())
+            return pc.take(uniq, enc.indices)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in col.to_pylist()], type=pa.string())
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) \
             or pa.types.is_struct(col.type) or pa.types.is_map(col.type):
         # containers render through the ROW rule (_to_s: arrays join ',',

@@ -16,10 +16,19 @@ NASTY = ("ab01 \t\n.*+?[](){}|\\^$-_&%{}#"
          "́‍"        # combining acute, ZWJ
          "אل")       # RTL hebrew/arabic
 keys = st.text(alphabet=NASTY, min_size=1, max_size=8)
-vals = st.one_of(st.none(), st.text(alphabet=NASTY, max_size=16),
-                 st.integers(-10**6, 10**6), st.booleans(),
-                 st.floats(allow_nan=False, allow_infinity=False,
-                           width=32))
+# scalars include the classes pa.array() silently coerces or chokes on:
+# bool-after-float, >int64 ints (OverflowError), bytes-with-str (binary)
+scalar_vals = st.one_of(st.none(), st.text(alphabet=NASTY, max_size=16),
+                        st.integers(-10**6, 10**6), st.booleans(),
+                        st.floats(allow_nan=False, allow_infinity=False,
+                                  width=32),
+                        st.sampled_from([2**70, -(2**70), 2**53 + 1,
+                                         b"\x00bin", b""]))
+vals = st.one_of(scalar_vals,
+                 st.lists(scalar_vals, max_size=3),
+                 st.dictionaries(st.text(alphabet=string.ascii_lowercase,
+                                         min_size=1, max_size=3),
+                                 scalar_vals, max_size=3))
 cell = st.one_of(st.none(), st.text(alphabet=NASTY, max_size=20))
 rows = st.lists(cell, min_size=1, max_size=40)
 

@@ -591,3 +591,35 @@ def test_spec_post_filters_keep_schema_on_empty(ray_session, tmp_path):
     agg = build_from_spec(spec)
     sch2 = agg.schema()
     assert sch2 is not None and sch2.names == ["user_id", "n"]
+
+
+def test_translate_bytes_dict_values():
+    """Bytes dictionary values (found by the widened fuzz_hard): the
+    fallback-unify branch crashed on non-utf8 bytes (Arrow's binary→string
+    cast rejects invalid utf-8), and ruby_to_s rendered the Python repr
+    (b'...') instead of the decoded text. Canonical rule everywhere:
+    utf-8 with U+FFFD replacement."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_kernel import run_both
+
+    from logstash_filter_translate_ray import TranslateConfig
+
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"0": b"\x00bin"}, fallback="fb")
+    out = run_both(cfg, [{"s": "0"}, {"s": "x"}])
+    assert [r["t"] for r in out] == ["\x00bin", "fb"]
+    # invalid utf-8: no crash, replacement chars
+    cfg2 = TranslateConfig(source="s", target="t",
+                           dictionary={"a": b"\xff\xfe"}, fallback="fb")
+    out2 = run_both(cfg2, [{"s": "a"}, {"s": "zz"}])
+    assert [r["t"] for r in out2] == ["��", "fb"]
+    # homogeneous bytes, no fallback: binary column preserved raw
+    cfg3 = TranslateConfig(source="s", target="t",
+                           dictionary={"a": b"hi"})
+    assert run_both(cfg3, [{"s": "a"}])[0]["t"] == b"hi"
+    # bytes+str mix: non-unify stringify path, decoded consistently
+    cfg4 = TranslateConfig(source="s", target="t",
+                           dictionary={"a": b"hi", "b": "yo"})
+    out4 = run_both(cfg4, [{"s": "a"}, {"s": "b"}])
+    assert [r["t"] for r in out4] == ["hi", "yo"]
