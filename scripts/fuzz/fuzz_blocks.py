@@ -13,7 +13,15 @@ from logstash_filter_translate_ray import (DictSnapshot, TranslateConfig,
 NASTY = "ab01 é日%{}"
 cell = st.one_of(st.none(), st.text(alphabet=NASTY, max_size=8))
 vals = st.one_of(st.none(), st.text(alphabet=NASTY, max_size=8),
-                 st.integers(-99, 99), st.booleans())
+                 st.integers(-99, 99), st.booleans(),
+                 # classes pa.array() silently coerces or chokes on — the
+                 # unify decision is dict-level so the OUTPUT type must
+                 # stay block-composition-invariant for these too
+                 st.sampled_from([0.0, 2.5, 2**70, 2**53 + 1,
+                                  b"\x00b", b"\xff"]),
+                 st.lists(st.one_of(st.integers(-9, 9), st.booleans(),
+                                    st.sampled_from([0.5, None])),
+                          max_size=2))
 
 def split_points(n):
     return st.lists(st.integers(0, n), max_size=4).map(
