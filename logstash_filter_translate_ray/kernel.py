@@ -68,9 +68,8 @@ def ruby_to_s(value: Any) -> str:
     if isinstance(value, float) and value.is_integer():
         return f"{value:.1f}"
     if isinstance(value, bytes):
-        # same rule as sprintf._to_s / _cast_to_string's binary branch:
-        # utf-8 with U+FFFD replacement
-        return value.decode("utf-8", "replace")
+        from .sprintf import _bytes_to_s
+        return _bytes_to_s(value)
     return str(value)
 
 
@@ -85,7 +84,11 @@ def _roundtrip_exact(orig: Any, back: Any) -> bool:
     if isinstance(orig, bool) or isinstance(back, bool):
         return isinstance(orig, bool) and isinstance(back, bool) and orig == back
     if isinstance(orig, (int, float)):
-        if not isinstance(back, (int, float)):
+        # CATEGORY-strict: an int promoted to float by a mixed int/float
+        # dictionary is a Ruby Integer rendered Float — the fallback-unify
+        # branch would then stringify 1 as "1.0" instead of "1". Mixed
+        # numeric dictionaries are heterogeneous Ruby objects; stringify.
+        if isinstance(orig, float) != isinstance(back, float):
             return False
         return orig == back or (orig != orig and back != back)
     if isinstance(orig, str):
@@ -834,9 +837,11 @@ def _merge_into_target(tbl: pa.Table, target: str, write_mask: np.ndarray,
             elif pa.types.is_null(existing.type):
                 existing = pa.nulls(n, new_vals.type)
             else:
-                existing = pc.cast(existing, pa.string()) if not pa.types.is_string(existing.type) else existing
-                new_vals = _cast_to_string(new_vals) if not pa.types.is_string(new_vals.type) else new_vals
-                new_vals = _as_array(new_vals)
+                # BOTH sides go through _cast_to_string: plain pc.cast
+                # rejects invalid-utf8 binary and container types, and
+                # renders floats Arrow-style instead of Ruby-style
+                existing = _as_array(_cast_to_string(existing))
+                new_vals = _as_array(_cast_to_string(new_vals))
         merged = pc.if_else(mask_arr, new_vals, existing)
         i = tbl.column_names.index(target)
         return tbl.set_column(i, target, merged)

@@ -245,6 +245,20 @@ def _apply_filters(ds, blocks, probe=None):
     return ds, probe
 
 
+def _parquet_probe(paths, columns=None):
+    """0-row schema table from parquet METADATA only (no data read), or
+    None when the schema can't be derived — the one copy of the probe
+    idiom used by both the direct and resumable spec paths."""
+    try:
+        import pyarrow.dataset as pads
+        probe = pads.dataset(paths).schema.empty_table()
+        if columns:
+            probe = probe.select(list(columns))
+        return probe
+    except Exception:
+        return None
+
+
 def build_from_spec(spec: "str | dict") -> "rd.Dataset":
     """Spec → lazy Dataset (input → filters → route).
 
@@ -264,13 +278,7 @@ def build_from_spec(spec: "str | dict") -> "rd.Dataset":
         if inp.get("columns"):
             kw["columns"] = list(inp["columns"])
         ds = rd.read_parquet(inp["path"], **kw)
-        try:                             # metadata-only, no data read
-            import pyarrow.dataset as pads
-            probe = pads.dataset(inp["path"]).schema.empty_table()
-            if inp.get("columns"):
-                probe = probe.select(list(inp["columns"]))
-        except Exception:
-            probe = None
+        probe = _parquet_probe(inp["path"], inp.get("columns"))
     elif fmt == "csv":
         ds = rd.read_csv(inp["path"])
     elif fmt == "json":
@@ -507,13 +515,8 @@ def run_spec_resumable(spec: "str | dict", out_dir: str,
                      for f in sorted(fs) if f.endswith(".parquet")]
     result = None
     if any(k in s for k in POST_CLAUSE_KEYS) and shard_parquet:
-        try:                             # metadata-only, no data read
-            import pyarrow.dataset as pads
-            probe = pads.dataset(shard_parquet).schema.empty_table()
-        except Exception:
-            probe = None
         result = _apply_post_clauses(rd.read_parquet(shard_parquet), s,
-                                     probe)
+                                     _parquet_probe(shard_parquet))
     out_info = {}
     if s.get("output", {}).get("path"):
         # the spec's own sink: write the POST-CLAUSE result (or the routed

@@ -54,6 +54,14 @@ def check_no_timeformat(template: str) -> None:
                 "static string")
 
 
+def _bytes_to_s(b: bytes) -> str:
+    """THE canonical bytes→string rendering (Ruby byte strings pass
+    through to_s unchanged; the columnar convention decodes utf-8 with
+    U+FFFD replacement). One copy — ruby_to_s, _to_s and
+    _cast_to_string's binary branch must all agree."""
+    return b.decode("utf-8", "replace")
+
+
 def _to_s(value: Any) -> str:
     """Ruby-ish to_s for interpolated values. Containers follow Logstash's
     StringInterpolation: arrays join with ',' (Ruby Array#join, nil → ''),
@@ -66,10 +74,7 @@ def _to_s(value: Any) -> str:
     if isinstance(value, float) and value.is_integer():
         return f"{value:.1f}"  # Ruby 2.0.to_s == "2.0"
     if isinstance(value, bytes):
-        # Ruby byte strings pass through to_s unchanged; the columnar
-        # convention decodes utf-8 with U+FFFD replacement (same rule as
-        # _cast_to_string's binary branch — the two sides must agree)
-        return value.decode("utf-8", "replace")
+        return _bytes_to_s(value)
     if isinstance(value, (list, tuple)):
         return ",".join(_to_s(v) for v in value)
     if isinstance(value, dict):
@@ -195,12 +200,12 @@ def _cast_to_string(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arr
         try:
             enc = col.dictionary_encode()
             uniq = pa.array(
-                [None if v is None else v.decode("utf-8", "replace")
+                [None if v is None else _bytes_to_s(v)
                  for v in enc.dictionary.to_pylist()], type=pa.string())
             return pc.take(uniq, enc.indices)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return pa.array(
-                [None if v is None else v.decode("utf-8", "replace")
+                [None if v is None else _bytes_to_s(v)
                  for v in col.to_pylist()], type=pa.string())
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) \
             or pa.types.is_struct(col.type) or pa.types.is_map(col.type):

@@ -15,7 +15,7 @@ def _render(v) -> str:
         return str(bool(v))
     if isinstance(v, (float, np.floating)):
         v = v + 0.0                      # fold -0.0 into 0.0
-        if v == v and float(v).is_integer() and abs(v) < 2.0 ** 53:
+        if v == v and float(v).is_integer() and abs(v) <= 2.0 ** 53:
             return str(int(v))
     return str(v)
 

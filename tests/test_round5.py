@@ -529,9 +529,15 @@ def test_value_array_rejects_silent_arrow_coercions():
     assert DictSnapshot({"a": "x", "b": b"y"}).value_array is None
     # >int64 int raised OverflowError (uncaught) pre-fix
     assert DictSnapshot({"a": 2 ** 70, "b": 1}).value_array is None
+    # int promoted to float is a category drift too: {'a': 1, 'b': 2.5}
+    # with a fallback would render 1 as '1.0' through the unified double
+    # column — mixed numeric dicts stringify per-value instead
+    assert DictSnapshot({"a": 1, "b": 2.5}).value_array is None
+    assert DictSnapshot({"a": [1], "b": [2.5]}).value_array is None
     # homogeneous / value-preserving dictionaries still unify (fast path)
     assert DictSnapshot({"a": 1, "b": 2}).value_array is not None
-    assert DictSnapshot({"a": 1, "b": 2.5}).value_array is not None
+    assert DictSnapshot({"a": 1.0, "b": 2.5}).value_array is not None
+    assert DictSnapshot({"a": 1, "b": None}).value_array is not None
     assert DictSnapshot({"a": [1, 2], "b": [3]}).value_array is not None
     assert DictSnapshot({"a": True, "b": False}).value_array is not None
 
@@ -623,3 +629,42 @@ def test_translate_bytes_dict_values():
                            dictionary={"a": b"hi", "b": "yo"})
     out4 = run_both(cfg4, [{"s": "a"}, {"s": "b"}])
     assert [r["t"] for r in out4] == ["hi", "yo"]
+
+
+def test_mixed_numeric_dict_renders_per_value():
+    """Review finding: {'a': 1, 'b': 2.5} with a fallback rendered 1 as
+    '1.0' (int promoted to double by the unified value array, then cast).
+    Mixed int/float dictionaries are heterogeneous Ruby objects — they
+    stringify per-value ('1', '2.5') on every path."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_kernel import run_both
+
+    from logstash_filter_translate_ray import TranslateConfig
+
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": 1, "b": 2.5}, fallback="fb")
+    out = run_both(cfg, [{"s": "a"}, {"s": "b"}, {"s": "zz"}])
+    assert [r["t"] for r in out] == ["1", "2.5", "fb"]
+    # pure-float dicts keep Ruby float rendering
+    cfg2 = TranslateConfig(source="s", target="t",
+                           dictionary={"a": 1.0}, fallback="fb")
+    assert run_both(cfg2, [{"s": "a"}])[0]["t"] == "1.0"
+
+
+def test_merge_into_existing_binary_target():
+    """Review finding: writing string values into a PRE-EXISTING binary
+    target column crashed on invalid utf-8 (plain pc.cast in the merge
+    unify branch) — both sides now go through _cast_to_string."""
+    from logstash_filter_translate_ray import (DictSnapshot,
+                                               TranslateConfig,
+                                               translate_table)
+
+    tbl = pa.table({"s": pa.array(["a", "x"]),
+                    "t": pa.array([b"\xff\xfe", b"ok"], type=pa.binary())})
+    cfg = TranslateConfig(source="s", target="t",
+                          dictionary={"a": "hit"}, override=True)
+    out = translate_table(tbl, cfg, DictSnapshot(cfg.dictionary))
+    rows = out.to_pylist()
+    assert rows[0]["t"] == "hit"
+    assert rows[1]["t"] == "ok"   # unwritten binary decoded, not crashed
