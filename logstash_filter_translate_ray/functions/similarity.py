@@ -207,22 +207,38 @@ def _rowwise_sort_desc_tiebreak(s: np.ndarray, ids: np.ndarray,
             np.take_along_axis(i1, o2, axis=1))
 
 
+_TIE_BAND = 2e-12   # superset of the 1e-12 quantized-equality rule
+
+
 def _select_topk_cols(s: np.ndarray, kk: int) -> np.ndarray:
     """Per-row indices of the top-``kk`` SCORE SET of matrix ``s`` via O(B)
     argpartition; rows whose kth-score tie straddles the boundary get an
-    exact (score, then position) fix-up — with columns pre-sorted by id,
-    taking the FIRST equal columns resolves ties to the smallest ids.
-    Rare except for duplicate vectors."""
+    exact fix-up under the fold's rule (round(score,12) DESC, then column
+    position) — with columns pre-sorted by id, taking the FIRST equal
+    columns resolves ties to the smallest ids.
+
+    The boundary check must be BANDED, not raw equality: dgemm scores
+    IDENTICAL columns differently depending on column POSITION within one
+    call (remainder-lane FMA order — measured 1-ulp spread on a 6-column
+    matmul), so a quantized-equal candidate with a smaller id can sit
+    strictly below the raw kth score. Rounding is monotonic, so any pair
+    the quantized rule ties across the raw boundary lies within 1e-12 of
+    the raw kth — the 2e-12 band detects a superset, and only those rows
+    pay the exact per-row re-selection. Rare except duplicate vectors."""
     B = s.shape[1]
     if kk >= B:
         return np.broadcast_to(np.arange(B), s.shape).copy()
     kth = np.partition(s, B - kk, axis=1)[:, B - kk]
     sel = np.argpartition(s, B - kk, axis=1)[:, B - kk:]
     n_gt = (s > kth[:, None]).sum(axis=1)
-    n_eq = (s == kth[:, None]).sum(axis=1)
+    with np.errstate(invalid="ignore"):     # -inf - -inf → nan: not a tie
+        near = np.abs(s - kth[:, None]) <= _TIE_BAND
+    n_eq = (near | (s == kth[:, None])).sum(axis=1)
     for r in np.nonzero(n_gt + n_eq > kk)[0]:
-        gt = np.nonzero(s[r] > kth[r])[0]
-        eq = np.nonzero(s[r] == kth[r])[0][: kk - len(gt)]
+        qs = np.round(s[r], 12)
+        qkth = np.partition(qs, B - kk)[B - kk]
+        gt = np.nonzero(qs > qkth)[0]
+        eq = np.nonzero(qs == qkth)[0][: kk - len(gt)]
         sel[r] = np.concatenate([gt, eq])
     return sel
 
@@ -305,10 +321,11 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
             # block pass (the 200k probe spent 3× the matmul time there)
             o = np.argsort(ids_b, kind="stable")
             ids_b = ids_b[o]
-            # raw scores here: per-block selection is ulp-safe (identical
-            # columns in ONE gemm call score bit-identically); cross-block
-            # tie noise is collapsed at the fold/final sort, where the
-            # candidate arrays are k-wide (see _rowwise_sort_desc_tiebreak)
+            # raw scores here; _select_topk_cols band-detects quantized
+            # boundary ties (identical columns do NOT score bit-identically
+            # even in ONE gemm call — remainder-lane FMA order), and
+            # cross-block noise collapses at the fold/final sort over the
+            # k-wide candidate arrays (see _rowwise_sort_desc_tiebreak)
             s = ma @ mb[o].T
             s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
             sel = _select_topk_cols(s, min(k, s.shape[1]))

@@ -668,3 +668,33 @@ def test_merge_into_existing_binary_target():
     rows = out.to_pylist()
     assert rows[0]["t"] == "hit"
     assert rows[1]["t"] == "ok"   # unwritten binary decoded, not crashed
+
+
+def test_knn_join_single_gemm_column_position_ties(ray_session):
+    """Found by fresh-seed embedding fuzz: dgemm scores IDENTICAL columns
+    differently depending on column POSITION within one call
+    (remainder-lane FMA order, measured 1-ulp spread on a 6-column
+    matmul), so the per-block top-k selection dropped a quantized-equal
+    candidate with a SMALLER id before the fold could tie-break.
+    _select_topk_cols now band-detects quantized boundary ties."""
+    import ray.data as rd
+    from logstash_filter_translate_ray.functions.similarity import knn_join
+
+    dup = [0.5, -1.0, -0.5, 0.5, 0.5, 2.0, -1.0, -1.0]
+    other = [0.5, 1.0, 2.0, -1.0, 1.0, 0.0, -0.5, 0.0]
+    neg = [-x for x in dup]
+    full = [dup, dup, dup, other, dup, neg]
+    n = len(full)
+    flat = pa.array(np.asarray(full, dtype=np.float32).reshape(-1),
+                    type=pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * 8, 8, dtype=np.int32))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.ListArray.from_arrays(offs, flat)})
+    out = knn_join(rd.from_arrow(tbl), k=3)
+    # query 5 (the negation): rank 1 = vec 3, then the 4-way tie
+    # {0,1,2,4} at cosine -1 must resolve id-ASC → 0, 1 (NOT 4)
+    q5 = out[out.vec_id == 5].sort_values("nn_rank")
+    assert q5.neighbor_id.tolist() == [3, 0, 1]
+    # single-block and multi-block layouts agree
+    split = knn_join(rd.from_arrow([tbl.slice(0, 3), tbl.slice(3)]), k=3)
+    pd.testing.assert_frame_equal(out, split)
